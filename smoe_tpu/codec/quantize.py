@@ -1,0 +1,153 @@
+"""Post-hoc parameter quantization / dequantization (the codec).
+
+Numerically mirrors reference quantizer.py:4-145:
+  * reduce to active kernels (pis > 0)
+  * per-group uniform scalar quantization to bit_depths = [A, musX, nu_e,
+    pis, gamma_e] with bounds either data-derived (modes <=1, 3) or fixed
+    (mode 2), steps = 2^bits - 1, eps 1e-11 on the range
+  * rescaler reassembles the steering factor A = diag + corr and re-adds the
+    grid offsets when use_diff_center
+
+Runs in numpy on host (these are tiny K-sized arrays); `quantize_params_jax`
+offers the same math on-device for RD sweeps without host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from smoe_tpu.config import SmoeConfig
+
+RANGE_EPS = 10e-12   # reference quantizer.py:58
+
+
+def reduce_params(params: Dict[str, np.ndarray]):
+    """Drop dead kernels (reference utils.py:7-15). Returns (reduced, idx)."""
+    idx = params["pis"] > 0
+    out = {k: (v[idx] if k in ("pis", "A_diagonal", "A_corr", "musX",
+                               "nu_e", "gamma_e") else v)
+           for k, v in params.items()}
+    return out, idx
+
+
+def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
+                    ) -> Dict[str, np.ndarray]:
+    """Uniform scalar quantization of the reduced parameter set.
+
+    params: dict with pis/musX/A_diagonal/A_corr/nu_e/gamma_e (full capacity;
+    reduced internally).  Matches reference quantizer.quantize_params.
+    """
+    params, used = reduce_params(dict(params))
+    qm = cfg.quantization_mode
+    bd = cfg.bit_depths
+    radial = cfg.radial_as
+
+    def data_bounds(x):
+        return (np.amin(x, axis=0, keepdims=True),
+                np.amax(x, axis=0, keepdims=True))
+
+    d, c = cfg.dim_domain, params["nu_e"].shape[-1]
+    if qm <= 1 or qm == 3:
+        lb_Ad, ub_Ad = data_bounds(params["A_diagonal"])
+        if not radial:
+            lb_Ac, ub_Ac = data_bounds(params["A_corr"])
+        lb_mu, ub_mu = data_bounds(params["musX"])
+        lb_nu, ub_nu = data_bounds(params["nu_e"])
+        lb_g, ub_g = data_bounds(params["gamma_e"])
+    elif qm == 2:
+        shape_A = (1,) if radial else (1, d, d)
+        lb_Ad = np.full(shape_A, cfg.lower_bounds[0])
+        ub_Ad = np.full(shape_A, cfg.upper_bounds[0])
+        if not radial:
+            lb_Ac = np.full((1, d, d), cfg.lower_bounds[0])
+            ub_Ac = np.full((1, d, d), cfg.upper_bounds[0])
+        lb_mu = np.full((1, d), cfg.lower_bounds[1])
+        ub_mu = np.full((1, d), cfg.upper_bounds[1])
+        lb_nu = np.full((1, c), cfg.lower_bounds[2])
+        ub_nu = np.full((1, c), cfg.upper_bounds[2])
+        lb_g = np.full((1, d, c), cfg.lower_bounds[4])
+        ub_g = np.full((1, d, c), cfg.upper_bounds[4])
+    else:
+        raise ValueError(f"unknown quantization mode {qm}")
+
+    if qm <= 1 and not cfg.quantize_pis:
+        lb_pi, ub_pi = data_bounds(params["pis"])
+    else:
+        lb_pi = np.full((1,), cfg.lower_bounds[3])
+        ub_pi = np.full((1,), cfg.upper_bounds[3])
+
+    steps = {"A": 2 ** bd[0] - 1, "musX": 2 ** bd[1] - 1,
+             "nu_e": 2 ** bd[2] - 1, "pis": 2 ** bd[3] - 1,
+             "gamma_e": 2 ** bd[4] - 1}
+
+    def q(x, lb, ub, step):
+        return np.round((x - lb) / (ub - lb + RANGE_EPS) * step)
+
+    lower = {"A_diagonal": lb_Ad, "musX": lb_mu, "nu_e": lb_nu,
+             "pis": lb_pi, "gamma_e": lb_g}
+    upper = {"A_diagonal": ub_Ad, "musX": ub_mu, "nu_e": ub_nu,
+             "pis": ub_pi, "gamma_e": ub_g}
+    out = {"lower_bounds": lower, "upper_bounds": upper, "steps": steps,
+           "A_diagonal": q(params["A_diagonal"], lb_Ad, ub_Ad, steps["A"]),
+           "musX": q(params["musX"], lb_mu, ub_mu, steps["musX"]),
+           "nu_e": q(params["nu_e"], lb_nu, ub_nu, steps["nu_e"]),
+           "pis": q(params["pis"], lb_pi, ub_pi, steps["pis"]),
+           "gamma_e": q(params["gamma_e"], lb_g, ub_g, steps["gamma_e"]),
+           "used_kernels": used}
+    if not radial:
+        lower["A_corr"] = lb_Ac
+        upper["A_corr"] = ub_Ac
+        out["A_corr"] = q(params["A_corr"], lb_Ac, ub_Ac, steps["A"])
+    return out
+
+
+def rescaler(qparams: Dict, cfg: SmoeConfig,
+             musX_grid: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+    """Dequantize and reassemble (reference quantizer.py:85-145).
+
+    Returns dict with full A (K', d, d), musX, nu_e, pis, gamma_e.
+    musX_grid: initial grid centers of the used kernels, required when
+    cfg.use_diff_center (reference quantizer.py:140-141).
+    """
+    st = qparams["steps"]
+    lo, up = qparams["lower_bounds"], qparams["upper_bounds"]
+
+    def r(name, skey):
+        return (qparams[name] / st[skey] * (up[name] - lo[name]) + lo[name])
+
+    rA_diag = r("A_diagonal", "A")
+    rmusX = r("musX", "musX")
+    rnu = r("nu_e", "nu_e")
+    rpis = r("pis", "pis")
+    rg = r("gamma_e", "gamma_e")
+
+    if cfg.radial_as:
+        k = rA_diag.shape[0]
+        rA = np.zeros((k, cfg.dim_domain, cfg.dim_domain))
+        for i in range(k):
+            np.fill_diagonal(rA[i], rA_diag[i])
+    else:
+        rA = rA_diag + r("A_corr", "A")
+
+    if cfg.use_diff_center:
+        assert musX_grid is not None, "use_diff_center needs the grid centers"
+        rmusX = rmusX + musX_grid
+
+    return {"A": rA.astype(np.float32), "musX": rmusX.astype(np.float32),
+            "nu_e": rnu.astype(np.float32), "pis": rpis.astype(np.float32),
+            "gamma_e": rg.astype(np.float32)}
+
+
+def rate_bits(qparams: Dict, cfg: SmoeConfig) -> int:
+    """Rate proxy: active kernels x per-group bit depths
+    (reference smoe.py:1012, smoe_test.py:302-303)."""
+    k = int(qparams["pis"].shape[0])
+    d = cfg.dim_domain
+    c = qparams["nu_e"].shape[-1]
+    bd = cfg.bit_depths
+    a_entries = 1 if cfg.radial_as else d * (d + 1) // 2
+    per_kernel = (bd[0] * a_entries + bd[1] * d + bd[2] * c + bd[3]
+                  + bd[4] * d * c)
+    return k * per_kernel

@@ -1,0 +1,119 @@
+"""Model / training configuration.
+
+Mirrors the hyperparameter surface of the reference `Smoe.__init__`
+(reference smoe.py:38-41, ~30 kwargs) and the train CLI flags
+(reference smoe_test.py:260-356), as one typed dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoeConfig:
+    """Static configuration for an SMoE model fit.
+
+    Everything in here is compile-time static for XLA: changing a field
+    retriggers a trace.  Runtime state (params, kernel lists, RNG) lives in
+    `SmoeParams` / `TrainState`.
+    """
+
+    # --- domain / kernels ---
+    dim_domain: int = 2                      # 2 image, 3 video, 4 light field
+    num_channels: int = 3
+    kernels_per_dim: Tuple[int, ...] = (12, 12)
+    precision: int = 8                       # input bit depth (8 or 16)
+
+    # --- parameterization (reference smoe.py:38-41) ---
+    train_pis: bool = True
+    train_gammas: bool = True                # affine experts when True
+    train_musx: bool = True
+    use_diff_center: bool = False            # musX stored as offset from grid
+    radial_as: bool = False                  # scalar bandwidth per kernel
+    use_determinant: bool = True             # multiply N by prod(diag A)/sqrt((2pi)^d)
+    train_inverse_cov: bool = False          # maha = x^T (D+L+L^T) x instead of |A^T x|^2
+    normalize_pis: bool = True               # init pis to 1/K (else 1)
+    only_y_gamma: bool = False               # slopes only on Y channel
+
+    # --- loss (reference smoe.py:902-1051) ---
+    use_yuv: bool = True                     # 6/8:1/8:1/8 channel weighting
+    ssim_opt: bool = False                   # 1 - SSIM loss instead of eps-insensitive
+    margin: float = 0.5                      # eps = margin / 2^precision
+
+    # --- quantization (reference smoe.py:473-538, quantizer.py) ---
+    quantization_mode: int = 0               # 0 none, 1 post-hoc each val, 2 QAT fixed, 3 QAT var
+    bit_depths: Tuple[int, ...] = (20, 18, 6, 10, 10)   # A, musX, nu_e, pis, gamma_e
+    quantize_pis: bool = False
+    lower_bounds: Tuple[float, ...] = (-2500.0, -0.3, -5.0, 0.0, -32.0)
+    upper_bounds: Tuple[float, ...] = (2500.0, 1.3, 5.0, 2.0, 32.0)
+
+    # --- blocks (reference smoe.py:18-35, 2459-2543) ---
+    block_shape: Tuple[int, ...] = ()        # pixels per block per dim (no overlap)
+    overlap: int = 0                         # overlap_of_batches
+
+    # --- incremental kernels (reference smoe.py:339-452, 1206-1483) ---
+    add_kernel_slots: int = 0
+
+    # --- video motion (reference smoe.py:554-686) ---
+    train_trafo: bool = False
+    num_params_model: int = 6                # 2 / 4 / 6 / 8 motion params
+    num_frames: int = 0                      # frames (dim_domain==3 only)
+    dual_model: bool = False                 # fg/bg dual kernel set (smoe.py:280-329)
+
+    # --- misc ---
+    kernel_count_as_norm_l1: bool = False
+    train_svs: bool = False                  # support-vector residual (smoe.py:402-426)
+    compute_dtype: str = "float32"           # matmul dtype; "bfloat16" opt-in
+
+    # ---- derived helpers ----
+
+    @property
+    def num_kernels_grid(self) -> int:
+        import numpy as np
+        return int(np.prod(self.kernels_per_dim))
+
+    @property
+    def capacity(self) -> int:
+        """Total kernel slots: grid + inc block + add slots.
+
+        Matches reference smoe.py:337-340: with add_kernel_slots>0 the live
+        arrays hold `add_kernel_slots + 2*start_pis` kernels (main block of
+        start_pis+add_kernel_slots and an inc block of start_pis).
+        """
+        k = self.num_kernels_grid * (2 if self.dual_model else 1)
+        if self.add_kernel_slots > 0:
+            return self.add_kernel_slots + 2 * k
+        return k
+
+    @property
+    def start_pis(self) -> int:
+        return self.num_kernels_grid * (2 if self.dual_model else 1)
+
+    @property
+    def epsilon(self) -> float:
+        return self.margin / (2 ** self.precision)
+
+    @property
+    def minimum_influence(self) -> float:
+        # reference smoe.py:825
+        return 0.5 / (2 ** self.precision)
+
+    def replace(self, **kw) -> "SmoeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Default Adam learning-rate structure (reference smoe_test.py:84-97):
+#   group 1 {nu_e, gamma_e, musX}: base_lr
+#   group 2 {pis}:                 base_lr / lr_div        (default /100)
+#   group 3 {A_diag, A_corr}:      base_lr * lr_mult       (default x1000)
+#   group 4 {SV}:                  base_lr * lr_mult_sv
+#   group 5 {motion h**}:          base_lr
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    base_lr: float = 1e-3
+    lr_div: float = 100.0
+    lr_mult: float = 1000.0
+    lr_mult_sv: float = 1.0
+    grad_clip_value_abs: Optional[float] = None

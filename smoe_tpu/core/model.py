@@ -1,0 +1,191 @@
+"""SMoE forward pass, MXU-native.
+
+The reference evaluates the Mahalanobis distance with a (K, N, d, 1)
+broadcasting einsum (reference smoe.py:791-806 via the forked
+exponential_space_einsum, ops/special_math_ops.py:36-149), which on TPU would
+materialize huge intermediates and starve the MXU.  Here the whole
+pixel x kernel evaluation is reformulated as dense matmuls over a quadratic
+feature map so XLA tiles it straight onto the 128x128 systolic array:
+
+With B_k = A_k A_k^T (or the symmetric inverse-cov matrix directly):
+
+    maha[n, k] = x_n^T B_k x_n - 2 (B_k mu_k)^T x_n + mu_k^T B_k mu_k
+               = < phi(x_n), q_k >
+
+where phi(x) = [vec(x x^T), x, 1]  (d^2 + d + 1 features) and
+      q_k    = [vec(B_k), -2 B_k mu_k, mu_k^T B_k mu_k].
+
+So maha = Phi @ Q^T is ONE (N, d^2+d+1) x (d^2+d+1, K) matmul.  Gating and
+the expert regression are two more matmuls:
+
+    nums   = exp(-0.5 maha) * det_k * pi_k * mask_k         (VPU, fused)
+    w      = nums / max(1e-11, sum_k nums)                   (reference smoe.py:819-823)
+    res    = w @ nu_e + sum_d x_d * (w @ gamma_e[:, d, :])   (reference smoe.py:840-848)
+
+Everything here is pure and jit-friendly; kernel liveness comes in as a
+(K,) bool mask (per-block kernel list AND pis>0, reference smoe.py:738).
+The decode path can inject an explicit dequantized A via `A_override`,
+mirroring the reference's feed-point override of the assembled A
+(reference smoe.py:746-753, 1689).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core.params import SmoeParams, assemble_A
+
+# Floor for the gating denominator.  Reference writes `10e-12` (= 1e-11),
+# smoe.py:821.
+DENOM_FLOOR = 1e-11
+
+
+class ForwardOut(NamedTuple):
+    res: jnp.ndarray          # (N, C) reconstruction, clipped + fake-quantized
+    w_e: jnp.ndarray          # (N, K) gating weights after influence culling
+    survivors: jnp.ndarray    # (K,) bool: kernel influences > threshold somewhere
+    maha: jnp.ndarray         # (N, K) Mahalanobis distances (for kernel lists)
+
+
+def quadratic_features(x: jnp.ndarray) -> jnp.ndarray:
+    """phi(x) = [vec(x x^T), x, 1] for a batch of coords.  (N,d) -> (N, d*d+d+1)."""
+    n, d = x.shape
+    outer = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
+    ones = jnp.ones((n, 1), dtype=x.dtype)
+    return jnp.concatenate([outer, x, ones], axis=-1)
+
+
+def kernel_quadratics(B: jnp.ndarray, musX: jnp.ndarray) -> jnp.ndarray:
+    """q_k = [vec(B_k), -2 B_k mu_k, mu_k^T B_k mu_k].  (K,d,d),(K,d) -> (K, d*d+d+1)."""
+    k, d, _ = B.shape
+    Bmu = jnp.einsum("kij,kj->ki", B, musX)
+    const = jnp.einsum("ki,ki->k", Bmu, musX)[:, None]
+    return jnp.concatenate([B.reshape(k, d * d), -2.0 * Bmu, const], axis=-1)
+
+
+def maha_from_A(A: jnp.ndarray, musX: jnp.ndarray, cfg: SmoeConfig,
+                coords: jnp.ndarray,
+                coords_raw: Optional[jnp.ndarray] = None,
+                model_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(N, K) Mahalanobis distances given the assembled steering factor A.
+
+    train_inverse_cov: maha = x^T A x (A already symmetrized);
+    otherwise:         maha = x^T A A^T x        (reference smoe.py:791-806).
+
+    For the dual-model video mode kernels with model_mask==False are
+    evaluated on `coords_raw` instead of the motion-transformed `coords`
+    (reference smoe.py:796-805).
+    """
+    if cfg.train_inverse_cov:
+        B = A
+    else:
+        B = jnp.einsum("klm,knm->kln", A, A)   # A A^T
+    q = kernel_quadratics(B, musX)             # (K, F)
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else coords.dtype
+    phi = quadratic_features(coords)           # (N, F)
+    maha = jnp.dot(phi.astype(dt), q.T.astype(dt),
+                   preferred_element_type=jnp.float32)
+    if coords_raw is not None and model_mask is not None:
+        phi_raw = quadratic_features(coords_raw)
+        maha_raw = jnp.dot(phi_raw.astype(dt), q.T.astype(dt),
+                           preferred_element_type=jnp.float32)
+        maha = jnp.where(model_mask[None, :], maha, maha_raw)
+    return maha
+
+
+def mahalanobis(params: SmoeParams, cfg: SmoeConfig, coords: jnp.ndarray,
+                coords_raw: Optional[jnp.ndarray] = None,
+                model_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Convenience wrapper assembling A from the params."""
+    A = assemble_A(params, cfg)
+    return maha_from_A(A, params.musX, cfg, coords, coords_raw, model_mask)
+
+
+def gating(maha: jnp.ndarray, pis: jnp.ndarray, diag_A: jnp.ndarray,
+           cfg: SmoeConfig, kernel_mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax-like gating with influence culling.  (N,K) -> (N,K).
+
+    Reference smoe.py:807-827:
+        N    = exp(-0.5 maha) [* prod(diag A)/sqrt((2 pi)^d)]
+        w    = pi * N / max(1e-11, sum(pi * N))
+        w    = w * (w > 0.5/2^precision)
+    """
+    mask = kernel_mask & (pis > 0)
+    # Mask inside the exp so dead kernels with garbage params can never
+    # produce inf * 0 = nan in the denominator (they are excluded from the
+    # graph entirely in the reference via boolean_mask, smoe.py:738-753).
+    n_exp = jnp.exp(-0.5 * jnp.where(mask[None, :], maha, 0.0))
+    if cfg.use_determinant:
+        n_div = jnp.prod(diag_A, axis=-1)                          # (K,)
+        n_quo = n_div / np.sqrt((2.0 * np.pi) ** cfg.dim_domain)
+        n_exp = n_exp * n_quo[None, :]
+    n_w = n_exp * jnp.where(mask, pis, 0.0)[None, :]
+    denom = jnp.maximum(DENOM_FLOOR, jnp.sum(n_w, axis=1, keepdims=True))
+    w_e = n_w / denom
+    w_e = w_e * (w_e > cfg.minimum_influence)
+    return w_e
+
+
+def expert_regression(w_e: jnp.ndarray, coords: jnp.ndarray,
+                      nu_e: jnp.ndarray, gamma_e: jnp.ndarray,
+                      cfg: SmoeConfig) -> jnp.ndarray:
+    """res[n,c] = sum_k w[n,k] (gamma_k^T x_n + nu_k).  Reference smoe.py:840-848.
+
+    Implemented as (N,K)@(K,C) + sum_d x_d * ((N,K)@(K,dC) reshaped), i.e. two
+    MXU matmuls, no (N,K,C) intermediate.
+    """
+    k, d, c = gamma_e.shape
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else w_e.dtype
+    res = jnp.dot(w_e.astype(dt), nu_e.astype(dt),
+                  preferred_element_type=jnp.float32)
+    if cfg.train_gammas:
+        if cfg.only_y_gamma and cfg.use_yuv:
+            # zero out slopes for non-Y channels (reference smoe.py:725-729)
+            chan_mask = jnp.zeros((c,), gamma_e.dtype).at[0].set(1.0)
+            gamma_e = gamma_e * chan_mask[None, None, :]
+        g = jnp.dot(w_e.astype(dt), gamma_e.reshape(k, d * c).astype(dt),
+                    preferred_element_type=jnp.float32).reshape(-1, d, c)
+        res = res + jnp.einsum("nd,ndc->nc", coords, g)
+    return res
+
+
+def fake_quant_unit(x: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Fake-quantize values in [0,1] to `bits` (straight-through gradient).
+
+    Matches tf.fake_quant_with_min_max_args(min=0, max=1) used on the output
+    (reference smoe.py:899): scale = 1/(2^bits - 1), zero point exact.
+    """
+    steps = (1 << bits) - 1
+    q = jnp.round(jnp.clip(x, 0.0, 1.0) * steps) / steps
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def smoe_forward(params: SmoeParams, cfg: SmoeConfig,
+                 coords: jnp.ndarray,
+                 kernel_mask: Optional[jnp.ndarray] = None,
+                 coords_raw: Optional[jnp.ndarray] = None,
+                 model_mask: Optional[jnp.ndarray] = None,
+                 A_override: Optional[jnp.ndarray] = None) -> ForwardOut:
+    """Full forward pass on a flat pixel set.
+
+    coords: (N, d) in [0,1]^d (already motion-transformed if applicable).
+    kernel_mask: (K,) bool per-block kernel list (defaults to all-on).
+    A_override: explicit (K, d, d) steering factor (decode path).
+    """
+    if kernel_mask is None:
+        kernel_mask = jnp.ones((params.capacity,), dtype=bool)
+    A = A_override if A_override is not None else assemble_A(params, cfg)
+    maha = maha_from_A(A, params.musX, cfg, coords, coords_raw, model_mask)
+    diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+    w_e = gating(maha, params.pis, diag_A, cfg, kernel_mask)
+    res = expert_regression(w_e, coords, params.nu_e, params.gamma_e, cfg)
+    res = jnp.clip(res, 0.0, 1.0)
+    res = fake_quant_unit(res, cfg.precision)
+    survivors = jnp.any(w_e > cfg.minimum_influence, axis=0)
+    return ForwardOut(res=res, w_e=w_e, survivors=survivors, maha=maha)

@@ -1,0 +1,186 @@
+"""Spatial block partitioning and per-block kernel locality lists.
+
+The reference streams (optionally overlapping, zero-padded) blocks through
+one TF graph with per-block feed dicts (sliding_window, reference
+smoe.py:18-35; feed loop :1643-1702).  Here blocks are materialized ONCE as a
+dense (B, Nb, d+C) device array so the whole sweep is a single lax.scan on
+device — the TPU-native replacement for the reference's per-block host
+round-trips (the dominant perf sin noted in SURVEY.md §3.1).
+
+Kernel locality ("kernel lists", reference smoe.py:2244-2365) becomes a
+(B, K) bool mask computed on device: block-center assignment at init, then
+corner/edge probing with maha < 800 plus the influence-culling survivors fed
+back after each sweep (reference smoe.py:1763-1766).
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core.init import gen_domain
+from smoe_tpu.core.model import maha_from_A
+
+MAHA_PROBE_THRESHOLD = 800.0   # reference smoe.py:806
+
+
+class BlockSet(NamedTuple):
+    """Static, device-resident blocked view of one image/video/LF."""
+    coords: jnp.ndarray        # (B, Nb, d) pixel coordinates (zero in pad)
+    targets: jnp.ndarray       # (B, Nb, C) pixel values   (zero in pad)
+    valid: jnp.ndarray         # (Nb,) bool: interior (non-overlap) pixels
+    probes: jnp.ndarray        # (B, P, d) block corner/edge/mid probe points
+    centers: jnp.ndarray       # (B, d) block centers (mean coords incl. pad)
+    image_shape: Tuple[int, ...]       # spatial dims
+    block_valued: Tuple[int, ...]      # block size per dim without overlap
+    block_padded: Tuple[int, ...]      # block size per dim with 2*overlap
+    overlap: int
+    train_mask: Optional[jnp.ndarray] = None   # (Nb,) bool (4D LF corner views)
+
+
+def _block_view(arr: np.ndarray, bs: Tuple[int, ...], ov: int) -> np.ndarray:
+    """(spatial..., F) -> (B, Nb, F) overlapping zero-padded blocks in the
+    reference's row-major block order."""
+    d = len(bs)
+    f = arr.shape[-1]
+    pad = [(ov, ov)] * d + [(0, 0)]
+    a = np.pad(arr, pad, mode="constant")
+    nb = [arr.shape[i] // bs[i] for i in range(d)]
+    win = [bs[i] + 2 * ov for i in range(d)]
+    blocks = np.empty((int(np.prod(nb)), int(np.prod(win)), f), arr.dtype)
+    for bi, idx in enumerate(product(*[range(n) for n in nb])):
+        sl = tuple(slice(idx[i] * bs[i], idx[i] * bs[i] + win[i]) for i in range(d))
+        blocks[bi] = a[sl].reshape(-1, f)
+    return blocks
+
+
+def build_blockset(image: np.ndarray, cfg: SmoeConfig,
+                   block_shape: Optional[Tuple[int, ...]] = None) -> BlockSet:
+    """Partition an image into the device-resident BlockSet.
+
+    image: (*spatial, C) float array in [0,1].
+    block_shape: pixels per block per dim (must divide the image dims,
+    reference smoe.py:238-241); defaults to cfg.block_shape or whole image.
+    """
+    d = cfg.dim_domain
+    spatial = image.shape[:d]
+    bs = tuple(block_shape or cfg.block_shape or spatial)
+    assert len(bs) == d, f"block shape {bs} does not match domain dim {d}"
+    for n, b in zip(spatial, bs):
+        if n % b:
+            raise ValueError(f"block shape {bs} does not divide image {spatial}")
+    ov = cfg.overlap
+
+    coords_grid = gen_domain(image, d)                    # (*spatial, d)
+    joint = np.concatenate([coords_grid, image], axis=-1)
+    blocks = _block_view(joint, bs, ov)                   # (B, Nb, d+C)
+    coords = blocks[..., :d]
+    targets = blocks[..., d:]
+
+    win = tuple(b + 2 * ov for b in bs)
+    interior = np.ones(win, dtype=bool)
+    if ov > 0:
+        sl = tuple(slice(ov, ov + b) for b in bs)
+        interior = np.zeros(win, dtype=bool)
+        interior[sl] = True
+    valid = interior.reshape(-1)
+
+    # probe points: product over dims of {min, max, mid} of each block's
+    # coordinate range (reference smoe.py:2332-2354)
+    mins = coords.min(axis=1)
+    maxs = coords.max(axis=1)
+    mids = 0.5 * (mins + maxs)
+    tt = np.stack([mins, maxs, mids], axis=-1)            # (B, d, 3)
+    probes = np.stack(
+        [np.array(list(product(*tt[b]))) for b in range(tt.shape[0])])
+    centers = blocks.mean(axis=1)[:, :d]
+
+    train_mask = None
+    if d >= 4:
+        train_mask = jnp.asarray(
+            _lf_train_mask(spatial)[..., None], dtype=bool
+        ).reshape(-1) if np.prod(bs) == np.prod(spatial) else None
+        # (block-partitioned LF would need per-block masks; global fit typical)
+
+    return BlockSet(
+        coords=jnp.asarray(coords, jnp.float32),
+        targets=jnp.asarray(targets, jnp.float32),
+        valid=jnp.asarray(valid),
+        probes=jnp.asarray(probes, jnp.float32),
+        centers=jnp.asarray(centers, jnp.float32),
+        image_shape=spatial, block_valued=bs, block_padded=win,
+        overlap=ov, train_mask=train_mask)
+
+
+def _lf_train_mask(spatial: Tuple[int, ...]) -> np.ndarray:
+    """Hardcoded 15x15 light-field view mask excluding corner views
+    (reference smoe.py:2374-2389)."""
+    m = np.ones(spatial, dtype=bool)
+    m[0, 0:4] = False; m[0, 11:] = False
+    m[1, 0:2] = False; m[1, 13:] = False
+    m[2:4, 0] = False; m[2:4, 14] = False
+    m[11:13, 0] = False; m[11:13, 14] = False
+    m[13, 0:2] = False; m[13, 13:] = False
+    m[14, 0:4] = False; m[14, 11:] = False
+    return m
+
+
+def stitch_blocks(block_vals: jnp.ndarray, bset: BlockSet) -> jnp.ndarray:
+    """(B, Nb, F) block outputs -> (*spatial, F) image (interior crop).
+
+    Inverse of _block_view (reference stitches on host, smoe.py:1719-1756).
+    """
+    d = len(bset.block_valued)
+    f = block_vals.shape[-1]
+    win = bset.block_padded
+    bs = bset.block_valued
+    ov = bset.overlap
+    nb = [s // b for s, b in zip(bset.image_shape, bs)]
+    x = block_vals.reshape(tuple(nb) + tuple(win) + (f,))
+    if ov > 0:
+        sl = tuple([slice(None)] * d +
+                   [slice(ov, ov + b) for b in bs] + [slice(None)])
+        x = x[sl]
+    # interleave block-grid dims with in-block dims: (n0, b0, n1, b1, ..., F)
+    perm = []
+    for i in range(d):
+        perm += [i, d + i]
+    perm += [2 * d]
+    x = jnp.transpose(x, perm)
+    return x.reshape(tuple(bset.image_shape) + (f,))
+
+
+# ---------------- kernel locality lists ----------------
+
+def initialize_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray,
+                            pis: jnp.ndarray, cfg: SmoeConfig,
+                            bset: BlockSet) -> jnp.ndarray:
+    """(B, K) bool: each kernel assigned to its nearest block center by maha,
+    then extended by probe points (reference smoe.py:2244-2285).
+
+    Takes the effective assembled tensors (post-QAT) like the reference's
+    graph-side maha op does.
+    """
+    B = bset.centers.shape[0]
+    maha = maha_from_A(A, musX, cfg, bset.centers)         # (B, K)
+    nearest = jnp.argmin(maha, axis=0)                     # (K,)
+    lists = nearest[None, :] == jnp.arange(B)[:, None]     # (B, K)
+    return update_kernel_lists(A, musX, pis, cfg, bset, lists)
+
+
+def update_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray, pis: jnp.ndarray,
+                        cfg: SmoeConfig, bset: BlockSet,
+                        lists: jnp.ndarray) -> jnp.ndarray:
+    """OR in all active kernels whose maha to any block probe point < 800
+    (reference smoe.py:2287-2365)."""
+    B, P, d = bset.probes.shape
+    maha = maha_from_A(A, musX, cfg, bset.probes.reshape(B * P, d))
+    maha = maha.reshape(B, P, A.shape[0])
+    near = jnp.any(maha < MAHA_PROBE_THRESHOLD, axis=1)    # (B, K)
+    active = pis > 0
+    return lists | (near & active[None, :])

@@ -1,0 +1,860 @@
+"""SMoE fitting: jitted block-sweep training with optax multi-group Adam.
+
+This replaces the reference's TF1 rig — 5 Adam optimizers with manual
+accumulator variables and one session.run per block per iteration
+(reference smoe.py:1079-1204 set_optimizer, :1485-1603 train,
+:1606-1793 run_batched) — with ONE compiled XLA program per iteration:
+
+    lax.scan over pixel blocks
+      -> value_and_grad of the per-block loss (QAT fake-quant inside)
+      -> f32 gradient accumulation in the scan carry
+    -> optax multi_transform update (per-group LRs)
+
+The public `Smoe` class mirrors the reference class's API surface
+(smoe.py:37: train, run_batched, get_params/get_best_params,
+get_reconstruction/get_qreconstruction, get_weight_matrix(_argmax),
+checkpoint/restore, reinit_inc/apply_inc).
+"""
+
+from __future__ import annotations
+
+import pickle
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smoe_tpu.config import OptConfig, SmoeConfig
+from smoe_tpu.core import losses as L
+from smoe_tpu.core.init import get_batch_shape, init_params
+from smoe_tpu.core.model import (ForwardOut, fake_quant_unit, gating,
+                                 expert_regression, maha_from_A)
+from smoe_tpu.core.params import SmoeParams, assemble_A
+from smoe_tpu.core.quant import apply_qat
+from smoe_tpu.core.ssim import ssim_loss
+from smoe_tpu.fit.blocks import (BlockSet, build_blockset,
+                                 initialize_kernel_lists, stitch_blocks,
+                                 update_kernel_lists)
+from smoe_tpu.video.motion import transform_coords
+
+
+class RegWeights(NamedTuple):
+    pis_l1: jnp.ndarray
+    u_l1: jnp.ndarray
+    sv_l1_sub_l2: jnp.ndarray
+
+
+class SweepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    mse: jnp.ndarray
+    num_pi: jnp.ndarray
+    num_sv: jnp.ndarray
+    survivors: jnp.ndarray      # (B, K)
+
+
+# --------------------------------------------------------------------------
+# effective (post-QAT) parameter view used by forward/eval
+# --------------------------------------------------------------------------
+
+class EffParams(NamedTuple):
+    """Assembled, fake-quantized parameters as consumed by the forward pass
+    (the q* tensors + assembled A of reference smoe.py:473-753)."""
+    A: jnp.ndarray
+    musX: jnp.ndarray
+    nu_e: jnp.ndarray
+    gamma_e: jnp.ndarray
+    pis: jnp.ndarray
+    motion: Optional[jnp.ndarray]
+
+
+def effective_params(params: SmoeParams, cfg: SmoeConfig,
+                     musX_grid: Optional[jnp.ndarray]) -> EffParams:
+    eff = apply_qat(params, cfg)
+    musX = eff.musX + musX_grid if (cfg.use_diff_center and musX_grid
+                                    is not None) else eff.musX
+    return EffParams(A=assemble_A(eff, cfg), musX=musX, nu_e=eff.nu_e,
+                     gamma_e=eff.gamma_e, pis=eff.pis, motion=eff.motion)
+
+
+def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
+                 kernel_mask: jnp.ndarray,
+                 model_mask: Optional[jnp.ndarray]) -> ForwardOut:
+    """Forward from the effective view (handles motion + dual model)."""
+    coords_raw = None
+    if eff.motion is not None and cfg.dim_domain == 3:
+        coords_t = transform_coords(coords, eff.motion, cfg.num_params_model,
+                                    cfg.num_frames)
+        if cfg.dual_model and model_mask is not None:
+            coords_raw = coords
+        coords_in = coords_t
+    else:
+        coords_in = coords
+    maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
+    diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
+    w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)
+    res = expert_regression(w_e, coords_in, eff.nu_e, eff.gamma_e, cfg)
+    res = jnp.clip(res, 0.0, 1.0)
+    res = fake_quant_unit(res, cfg.precision)
+    survivors = jnp.any(w_e > cfg.minimum_influence, axis=0)
+    return ForwardOut(res=res, w_e=w_e, survivors=survivors, maha=maha)
+
+
+# --------------------------------------------------------------------------
+# per-block loss
+# --------------------------------------------------------------------------
+
+def _block_loss(params: SmoeParams, cfg: SmoeConfig,
+                coords: jnp.ndarray, targets: jnp.ndarray,
+                kernel_mask: jnp.ndarray, valid: Optional[jnp.ndarray],
+                loss_w: Optional[jnp.ndarray], reg: RegWeights,
+                musX_grid: Optional[jnp.ndarray],
+                model_mask: Optional[jnp.ndarray],
+                block_padded: Tuple[int, ...]):
+    """Loss of one block; differentiated w.r.t. raw params (QAT is STE).
+
+    Mirrors the loss assembly of reference smoe.py:899-1051.
+    """
+    eff = effective_params(params, cfg, musX_grid)
+    out = _forward_eff(eff, cfg, coords, kernel_mask, model_mask)
+
+    if cfg.ssim_opt:
+        c = targets.shape[-1]
+        res_img = out.res.reshape(block_padded + (c,))
+        tgt_img = targets.reshape(block_padded + (c,))
+        ov = cfg.overlap
+        if ov > 0:
+            sl = tuple(slice(ov, s - ov) for s in block_padded)
+            res_img = res_img[sl]
+            tgt_img = tgt_img[sl]
+        loss_pix = ssim_loss(res_img, tgt_img, cfg.use_yuv,
+                             ndim=cfg.dim_domain)
+        la = L.pixel_loss(out.res, targets, cfg, None, valid)
+        mse = la.mse
+        err_map = la.err_map
+    else:
+        la = L.pixel_loss(out.res, targets, cfg, loss_w, valid)
+        loss_pix, mse, err_map = la.loss_pixel, la.mse, la.err_map
+
+    active = kernel_mask & (eff.pis > 0)
+    num_active = jnp.sum(eff.pis > 0)
+    qp = SmoeParams(musX=eff.musX, a_diag=None, a_corr=None, pis=eff.pis,
+                    nu_e=eff.nu_e, gamma_e=eff.gamma_e)
+    loss = loss_pix
+    loss = loss + L.pis_l1_reg(qp, cfg, active, reg.pis_l1, num_active)
+    diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
+    loss = loss + reg.u_l1 * jnp.sum(jnp.where(active[:, None], diag_A, 0.0))
+    return loss, (mse, out.survivors, err_map, num_active)
+
+
+# --------------------------------------------------------------------------
+# compiled sweeps (built per (cfg, static flags) by _Compiled)
+# --------------------------------------------------------------------------
+
+class _Compiled:
+    """Holds the jitted sweep functions for one Smoe instance."""
+
+    def __init__(self, cfg: SmoeConfig, bset: BlockSet, opt_cfg: OptConfig,
+                 num_pixel: int):
+        self.cfg = cfg
+        self.bset = bset
+        self.opt_cfg = opt_cfg
+        self.num_pixel = num_pixel
+        self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
+        self._train_fns: Dict[Any, Any] = {}
+        self.tx_main = self._make_tx(inc=False)
+        self.tx_inc = self._make_tx(inc=True)
+
+    # ---- optimizers ----
+    def _make_tx(self, inc: bool):
+        """optax multi_transform mirroring the 5-optimizer rig
+        (reference smoe_test.py:84-97, smoe.py:1079-1204)."""
+        oc = self.opt_cfg
+        cfg = self.cfg
+
+        def adam_or_zero(lr, enabled=True):
+            chain = []
+            if oc.grad_clip_value_abs is not None:
+                chain.append(optax.clip(oc.grad_clip_value_abs))
+            chain.append(optax.adam(lr) if (enabled and lr != 0)
+                         else optax.set_to_zero())
+            return optax.chain(*chain)
+
+        transforms = {
+            "nu": adam_or_zero(oc.base_lr),
+            "gamma": adam_or_zero(oc.base_lr, cfg.train_gammas),
+            "musx": adam_or_zero(oc.base_lr, cfg.train_musx),
+            "pis": adam_or_zero(oc.base_lr / oc.lr_div, cfg.train_pis),
+            "A": adam_or_zero(oc.base_lr * oc.lr_mult),
+            "sv": adam_or_zero(oc.base_lr * oc.lr_mult_sv, cfg.train_svs),
+            "motion": adam_or_zero(oc.base_lr, cfg.train_trafo and not inc),
+        }
+
+        def labels(params):
+            return SmoeParams(
+                musX="musx", a_diag="A", a_corr="A", pis="pis",
+                nu_e="nu", gamma_e="gamma",
+                motion=None if params.motion is None else "motion",
+                sv=None if params.sv is None else "sv",
+                sv_bw_diag=None if params.sv_bw_diag is None else "sv",
+                sv_bw_corr=None if params.sv_bw_corr is None else "sv")
+
+        return optax.multi_transform(transforms, labels)
+
+    # ---- row masks for the main/inc split ----
+    def _row_masks(self, capacity: int):
+        cfg = self.cfg
+        if cfg.add_kernel_slots > 0:
+            num_inc = cfg.start_pis
+            main = np.ones((capacity,), bool)
+            main[capacity - num_inc:] = False
+        else:
+            main = np.ones((capacity,), bool)
+        return jnp.asarray(main)
+
+    @staticmethod
+    def _mask_grad_rows(grads: SmoeParams, row_mask: jnp.ndarray,
+                        keep_main: bool) -> SmoeParams:
+        """Zero gradient rows outside the main (or inc) region; non-kernel
+        leaves (motion, sv) follow the main optimizer."""
+        sel = row_mask if keep_main else ~row_mask
+
+        def mask_leaf(name, g):
+            if g is None:
+                return None
+            if name in ("motion", "sv", "sv_bw_diag", "sv_bw_corr"):
+                return g if keep_main else jnp.zeros_like(g)
+            shape = (g.shape[0],) + (1,) * (g.ndim - 1)
+            return g * sel.reshape(shape).astype(g.dtype)
+
+        return SmoeParams(**{f: mask_leaf(f, getattr(grads, f))
+                             for f in SmoeParams.FIELDS})
+
+    # ---- sweeps ----
+    def train_sweep_fn(self, train_orig: bool, train_inc: bool,
+                       sampling_pct: int, use_loss_mask: bool):
+        key = (train_orig, train_inc, sampling_pct, use_loss_mask)
+        if key in self._train_fns:
+            return self._train_fns[key]
+
+        cfg = self.cfg
+        bset = self.bset
+        bw = self.block_weight
+        row_mask = self._row_masks(cfg.capacity)
+        sample_n = int(round(np.prod(bset.block_padded) * sampling_pct / 100.0))
+        do_sample = (sampling_pct < 100 and not cfg.ssim_opt
+                     and cfg.overlap == 0)
+
+        def loss_for_block(params, coords, targets, kmask, lw, reg,
+                           musX_grid, model_mask, probs, rng):
+            lw = lw if use_loss_mask else None
+            valid = bset.valid if cfg.overlap > 0 else None
+            if bset.train_mask is not None:
+                valid = bset.train_mask if valid is None \
+                    else valid & bset.train_mask
+            if do_sample:
+                # error-proportional subsampling without replacement
+                # (Gumbel top-k ~ np.random.choice(p=...), reference
+                # smoe.py:1664-1667)
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(rng, probs.shape, minval=1e-20)))
+                scores = jnp.log(jnp.maximum(probs, 1e-20)) + g
+                if valid is not None:
+                    scores = jnp.where(valid, scores, -jnp.inf)
+                idx = jax.lax.top_k(scores, sample_n)[1]
+                coords = coords[idx]
+                targets = targets[idx]
+                lw = None if lw is None else lw[idx]
+                valid = None
+            return _block_loss(params, cfg, coords, targets, kmask, valid,
+                               lw, reg, musX_grid, model_mask,
+                               bset.block_padded)
+
+        grad_fn = jax.value_and_grad(loss_for_block, has_aux=True)
+
+        def sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
+                  musX_grid, model_mask, probs, rng):
+            B = bset.coords.shape[0]
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            rngs = jax.random.split(rng, B)
+
+            def body(carry, xs):
+                g_acc, loss_acc, mse_acc = carry
+                coords, targets, kmask, lw, p, r = xs
+                (loss, (mse, surv, _, num_active)), g = grad_fn(
+                    params, coords, targets, kmask, lw, reg,
+                    musX_grid, model_mask, p, r)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, g_acc, g)
+                return ((g_acc, loss_acc + bw * loss, mse_acc + bw * mse),
+                        (surv, num_active))
+
+            nb = bset.coords.shape[1]
+            lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
+                else jnp.zeros((B, nb))
+            (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
+                body, (zero_g, 0.0, 0.0),
+                (bset.coords, bset.targets, klists, lw_xs, probs, rngs))
+
+            new_params = params
+            if train_orig:
+                g_main = self._mask_grad_rows(grads, row_mask, keep_main=True)
+                if cfg.train_trafo and g_main.motion is not None:
+                    # frame 0 needs no transform (reference smoe.py:1155-1158)
+                    m = jnp.ones_like(g_main.motion).at[:, 0].set(0.0)
+                    g_main = g_main.replace(motion=g_main.motion * m)
+                updates, opt_state = self.tx_main.update(
+                    g_main, opt_state, params)
+                new_params = optax.apply_updates(new_params, updates)
+            if train_inc:
+                g_inc = self._mask_grad_rows(grads, row_mask, keep_main=False)
+                updates, inc_opt_state = self.tx_inc.update(
+                    g_inc, inc_opt_state, params)
+                new_params = optax.apply_updates(new_params, updates)
+
+            eff_pis = apply_qat(params, cfg).pis
+            metrics = SweepMetrics(
+                loss=loss, mse=mse,
+                num_pi=jnp.sum(eff_pis > 0),
+                num_sv=jnp.asarray(0, jnp.int32),
+                survivors=survivors)
+            return new_params, opt_state, inc_opt_state, metrics
+
+        fn = jax.jit(sweep)
+        self._train_fns[key] = fn
+        return fn
+
+    def eval_sweep_fn(self):
+        if hasattr(self, "_eval_fn"):
+            return self._eval_fn
+        cfg = self.cfg
+        bset = self.bset
+        bw = self.block_weight
+
+        def eval_block(eff, coords, targets, kmask, lw, reg, model_mask):
+            out = _forward_eff(eff, cfg, coords, kmask, model_mask)
+            valid = bset.valid if cfg.overlap > 0 else None
+            if bset.train_mask is not None:
+                valid = bset.train_mask if valid is None \
+                    else valid & bset.train_mask
+            la = L.pixel_loss(out.res, targets, cfg, lw, valid)
+            if cfg.ssim_opt:
+                c = targets.shape[-1]
+                ov = cfg.overlap
+                res_img = out.res.reshape(bset.block_padded + (c,))
+                tgt_img = targets.reshape(bset.block_padded + (c,))
+                if ov > 0:
+                    sl = tuple(slice(ov, s - ov) for s in bset.block_padded)
+                    res_img, tgt_img = res_img[sl], tgt_img[sl]
+                loss_pix = ssim_loss(res_img, tgt_img, cfg.use_yuv,
+                                     ndim=cfg.dim_domain)
+            else:
+                loss_pix = la.loss_pixel
+            active = kmask & (eff.pis > 0)
+            num_active = jnp.sum(eff.pis > 0)
+            norm = (num_active.astype(jnp.float32)
+                    if cfg.kernel_count_as_norm_l1 else float(cfg.start_pis))
+            loss = loss_pix + reg.pis_l1 * jnp.sum(
+                jnp.where(active, eff.pis, 0.0)) / norm
+            diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
+            loss = loss + reg.u_l1 * jnp.sum(
+                jnp.where(active[:, None], diag_A, 0.0))
+            w_argmax = jnp.argmax(out.w_e, axis=1)
+            probs = la.err_map / jnp.maximum(jnp.sum(la.err_map), 1e-30)
+            return (loss, la.mse, out.res, w_argmax, out.survivors, probs)
+
+        def sweep(eff: EffParams, klists, loss_w, reg, model_mask):
+            B = bset.coords.shape[0]
+            lw_xs = loss_w if loss_w is not None else jnp.zeros((B, 1))
+
+            def body(carry, xs):
+                loss_acc, mse_acc = carry
+                coords, targets, kmask, lw = xs
+                loss, mse, res, w_am, surv, probs = eval_block(
+                    eff, coords, targets, kmask,
+                    lw if loss_w is not None else None, reg, model_mask)
+                return ((loss_acc + bw * loss, mse_acc + bw * mse),
+                        (res, w_am, surv, probs))
+
+            (loss, mse), (res, w_am, surv, probs) = jax.lax.scan(
+                body, (0.0, 0.0),
+                (bset.coords, bset.targets, klists, lw_xs))
+            num_pi = jnp.sum(eff.pis > 0)
+            return loss, mse, res, w_am, surv, probs, num_pi
+
+        self._eval_fn = jax.jit(sweep)
+        return self._eval_fn
+
+
+# --------------------------------------------------------------------------
+# public trainer class (reference class Smoe, smoe.py:37)
+# --------------------------------------------------------------------------
+
+class Smoe:
+    """SMoE model + fitting loop with the reference's public API."""
+
+    def __init__(self, image: np.ndarray,
+                 kernels_per_dim=None,
+                 init_params_dict: Optional[dict] = None,
+                 start_batches: int = 1,
+                 batch_size: Optional[Tuple[int, ...]] = None,
+                 cfg: Optional[SmoeConfig] = None,
+                 opt_cfg: Optional[OptConfig] = None,
+                 loss_mask: Optional[np.ndarray] = None,
+                 **cfg_overrides):
+        image = np.asarray(image, np.float32)
+        dim = image.ndim - 1
+        if cfg is None:
+            kpd = tuple(kernels_per_dim) if kernels_per_dim else (12,) * dim
+            if len(kpd) == 1:
+                kpd = kpd * dim
+            cfg = SmoeConfig(dim_domain=dim, num_channels=image.shape[-1],
+                             kernels_per_dim=kpd, **cfg_overrides)
+        if image.shape[-1] != 3 and cfg.use_yuv:
+            cfg = cfg.replace(use_yuv=False)
+        if cfg.dim_domain == 3 and cfg.train_trafo and cfg.num_frames == 0:
+            cfg = cfg.replace(num_frames=image.shape[2])
+
+        # block shape (reference smoe.py:231-247, 2459-2543)
+        if batch_size is not None:
+            bs = tuple(batch_size)
+            if len(bs) == 1:
+                bs = bs * dim
+        else:
+            joint_shape = image.shape[:dim] + (dim + image.shape[-1],)
+            bs = get_batch_shape(start_batches, joint_shape)[:dim]
+        cfg = cfg.replace(block_shape=tuple(int(b) for b in bs))
+
+        self.cfg = cfg
+        self.image = image
+        self.num_pixel = int(np.prod(image.shape[:dim]))
+        self.opt_cfg = opt_cfg or OptConfig()
+
+        p = init_params(image, cfg, init_params_dict)
+        self.params: SmoeParams = jax.tree_util.tree_map(jnp.asarray, p)
+        self.musX_grid = jnp.asarray(p.musX) if cfg.use_diff_center else None
+        if cfg.use_diff_center:
+            self.params = self.params.replace(
+                musX=jnp.zeros_like(self.params.musX))
+        self.model_mask = None   # dual-model kernel->domain assignment
+
+        self.bset = build_blockset(image, cfg, cfg.block_shape)
+        self.start_batches = int(self.bset.coords.shape[0])
+        self.loss_mask = None
+        if loss_mask is not None:
+            lm = loss_mask.reshape(loss_mask.shape[:dim] + (1,))
+            from smoe_tpu.fit.blocks import _block_view
+            self.loss_mask = jnp.asarray(
+                _block_view(lm.astype(np.float32), cfg.block_shape, 0)[..., 0])
+
+        self._compiled = _Compiled(cfg, self.bset, self.opt_cfg,
+                                   self.num_pixel)
+        self.opt_state = None
+        self.inc_opt_state = None
+
+        eff0 = effective_params(self.params, cfg, self.musX_grid)
+        self.kernel_lists = initialize_kernel_lists(
+            eff0.A, eff0.musX, eff0.pis, cfg, self.bset)
+        nb = int(np.prod(self.bset.block_padded))
+        self.sampling_probs = jnp.full(
+            (self.start_batches, nb), 1.0 / nb, jnp.float32)
+
+        # histories (reference smoe.py:183-194)
+        self.losses, self.qlosses = [], []
+        self.mses, self.qmses = [], []
+        self.losses_history, self.mses_history = [], []
+        self.num_pis, self.num_svs = [], []
+        self.best_loss = None
+        self.best_mse = None
+        self.best_qloss = None
+        self.best_qmse = None
+        self.best_params: Optional[Dict[str, np.ndarray]] = None
+        self.iter = 0
+        self.valid = False
+        self.qvalid = False
+        self.reconstruction_image = None
+        self.qreconstruction_image = None
+        self.weight_matrix_argmax = None
+        self.qweight_matrix_argmax = None
+        self.qparams = None
+        self.rparams = None
+        self.kernel_count = cfg.start_pis
+        self.num_inc_kernels = cfg.start_pis if cfg.add_kernel_slots else 0
+        self._rng = jax.random.PRNGKey(0)
+
+    # ---------------- optimizer ----------------
+
+    def set_optimizer(self, opt_cfg: Optional[OptConfig] = None, **kw):
+        """(Re)build the optimizers; fresh state like the reference's new
+        AdamOptimizer objects (smoe_test.py:84-91, 124-125)."""
+        if opt_cfg is None:
+            opt_cfg = OptConfig(**{**self.opt_cfg.__dict__, **kw}) if kw \
+                else self.opt_cfg
+        self.opt_cfg = opt_cfg
+        self._compiled = _Compiled(self.cfg, self.bset, opt_cfg,
+                                   self.num_pixel)
+        self.opt_state = self._compiled.tx_main.init(self.params)
+        self.inc_opt_state = self._compiled.tx_inc.init(self.params)
+
+    def set_inc_optimizer(self, *a, **kw):
+        """Inc optimizers share LR structure with the main rig
+        (reference smoe_test.py:93-97); state already separate."""
+        if self.inc_opt_state is None:
+            self.inc_opt_state = self._compiled.tx_inc.init(self.params)
+
+    # ---------------- sweeps ----------------
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
+                    update_reconstruction=False, with_quantized_params=False,
+                    sampling_percentage=100, with_inc=False, train_inc=False,
+                    thr_sv=None, use_loss_mask=False):
+        """One sweep over all blocks (reference smoe.py:1606-1793).
+
+        Returns (loss, mse, num_pi, num_sv) floats.
+        """
+        reg = RegWeights(jnp.float32(pis_l1), jnp.float32(u_l1),
+                         jnp.float32(sv_l1_sub_l2))
+        lw = self.loss_mask if use_loss_mask else None
+
+        if (train or train_inc) and not with_quantized_params:
+            if self.opt_state is None:
+                self.set_optimizer()
+            fn = self._compiled.train_sweep_fn(
+                bool(train), bool(train_inc), int(sampling_percentage),
+                use_loss_mask and lw is not None)
+            (self.params, self.opt_state, self.inc_opt_state,
+             metrics) = fn(self.params, self.opt_state, self.inc_opt_state,
+                           self.kernel_lists, lw, reg, self.musX_grid,
+                           self.model_mask, self.sampling_probs,
+                           self._next_rng())
+            self._update_kernel_lists_from(metrics.survivors)
+            self.valid = False
+            return (float(metrics.loss), float(metrics.mse),
+                    int(metrics.num_pi), int(metrics.num_sv))
+
+        # evaluation path
+        if with_quantized_params:
+            eff = self._eff_from_rparams()
+        else:
+            eff = effective_params(self.params, self.cfg, self.musX_grid)
+        fn = self._compiled.eval_sweep_fn()
+        loss, mse, res, w_am, surv, probs, num_pi = fn(
+            eff, self.kernel_lists, lw, reg, self.model_mask)
+
+        if update_reconstruction:
+            rec = np.asarray(stitch_blocks(res, self.bset))
+            wam = np.asarray(stitch_blocks(w_am[..., None],
+                                           self.bset))[..., 0]
+            self.sampling_probs = probs
+            if with_quantized_params:
+                self.qreconstruction_image = rec
+                self.qweight_matrix_argmax = wam
+                self.qvalid = True
+            else:
+                self.reconstruction_image = rec
+                self.weight_matrix_argmax = wam
+                self.valid = True
+        if not with_quantized_params:
+            self._update_kernel_lists_from(surv)
+        return float(loss), float(mse), int(num_pi), 0
+
+    def _update_kernel_lists_from(self, survivors):
+        """Per-block kernel lists <- influence-culling survivors
+        (reference smoe.py:1763-1766)."""
+        self.kernel_lists = survivors
+
+    def update_kernel_list(self, *_):
+        """Probe block corners/edges, OR into the lists
+        (reference smoe.py:2287-2365)."""
+        eff = effective_params(self.params, self.cfg, self.musX_grid)
+        self.kernel_lists = update_kernel_lists(
+            eff.A, eff.musX, eff.pis, self.cfg, self.bset, self.kernel_lists)
+
+    def _eff_from_rparams(self) -> EffParams:
+        """Scatter the reduced dequantized params back into full-capacity
+        slots (dead slots pis=0) so eval keeps one static shape.
+
+        Decode feed-point override (reference smoe.py:1689, :746-753).
+        """
+        assert self.rparams is not None, "call quantize first"
+        rp = self.rparams
+        used = np.asarray(self.qparams["used_kernels"]) if self.qparams \
+            else np.ones((rp["pis"].shape[0],), bool)
+        cap = self.cfg.capacity
+        d, c = self.cfg.dim_domain, self.image.shape[-1]
+        A = np.zeros((cap, d, d), np.float32)
+        musX = np.zeros((cap, d), np.float32)
+        nu = np.zeros((cap, c), np.float32)
+        gam = np.zeros((cap, d, c), np.float32)
+        pis = np.zeros((cap,), np.float32)
+        idx = np.where(used)[0] if used.shape[0] == cap \
+            else np.arange(rp["pis"].shape[0])
+        A[idx] = rp["A"]
+        musX[idx] = rp["musX"]
+        nu[idx] = rp["nu_e"]
+        gam[idx] = rp["gamma_e"]
+        pis[idx] = rp["pis"]
+        eff = effective_params(self.params, self.cfg, self.musX_grid)
+        return EffParams(A=jnp.asarray(A), musX=jnp.asarray(musX),
+                         nu_e=jnp.asarray(nu), gamma_e=jnp.asarray(gam),
+                         pis=jnp.asarray(pis), motion=eff.motion)
+
+    # ---------------- training loop ----------------
+
+    def train(self, num_iter, val_iter=100, ukl_iter=None, pis_l1=0.0,
+              u_l1=0.0, sv_l1_sub_l2=0.0, sampling_percentage=100,
+              callbacks=(), with_inc=False, train_inc=False, train_orig=True,
+              use_loss_mask=False, grad_clip_value_abs=None):
+        """Outer fit loop (reference smoe.py:1485-1603): initial eval,
+        per-iteration sweep, validation cadence, kernel-list refresh,
+        divergence guard, best-loss snapshot, callbacks."""
+        if ukl_iter is None:
+            ukl_iter = val_iter
+        if self.opt_state is None:
+            self.set_optimizer()
+
+        from smoe_tpu.codec.quantize import quantize_params, rescaler
+
+        def quantize_now():
+            self.qparams = quantize_params(self.get_params(), self.cfg)
+            return self.qparams
+
+        if self.cfg.quantization_mode >= 1:
+            quantize_now()
+        if self.cfg.quantization_mode == 1:
+            self.rparams = rescaler(
+                self.qparams, self.cfg,
+                None if self.musX_grid is None else
+                np.asarray(self.musX_grid)[
+                    np.asarray(self.qparams["used_kernels"])])
+            self.best_qloss, self.best_qmse, _, _ = self.run_batched(
+                pis_l1, u_l1, sv_l1_sub_l2, train=False,
+                update_reconstruction=True, with_quantized_params=True)
+            self.qlosses.append((0, self.best_qloss))
+            self.qmses.append((0, self.best_qmse))
+
+        loss_val, mse_val, num_pi, num_sv = self.run_batched(
+            pis_l1, u_l1, sv_l1_sub_l2, train=False,
+            update_reconstruction=True, use_loss_mask=use_loss_mask)
+        self.best_loss, self.best_mse = loss_val, mse_val
+        self._snapshot_best()
+        self.losses.append((self.iter, loss_val))
+        self.mses.append((self.iter, mse_val))
+        self.num_pis.append((self.iter, num_pi))
+        self.num_svs.append((self.iter, num_sv))
+        for cb in callbacks:
+            cb(self)
+
+        first_loss = self.losses[0][1] if self.losses else loss_val
+        i = 0
+        for i in range(1, num_iter + 1):
+            self.iter += 1
+            try:
+                validate = i % val_iter == 0
+                do_ukl = i % ukl_iter == 0
+
+                loss_val, mse_val, num_pi, num_sv = self.run_batched(
+                    pis_l1, u_l1, sv_l1_sub_l2, train=train_orig,
+                    sampling_percentage=sampling_percentage,
+                    with_inc=with_inc, train_inc=train_inc,
+                    use_loss_mask=use_loss_mask)
+
+                if do_ukl:
+                    self.update_kernel_list()
+                    if not validate:
+                        loss_val, mse_val, num_pi, num_sv = self.run_batched(
+                            pis_l1, u_l1, train=False)
+
+                if validate:
+                    if self.cfg.quantization_mode >= 1:
+                        quantize_now()
+                    if self.cfg.quantization_mode == 1:
+                        self.rparams = rescaler(
+                            self.qparams, self.cfg,
+                            None if self.musX_grid is None else
+                            np.asarray(self.musX_grid)[
+                                np.asarray(self.qparams["used_kernels"])])
+                        qloss_val, qmse_val, _, _ = self.run_batched(
+                            pis_l1, u_l1, sv_l1_sub_l2, train=False,
+                            update_reconstruction=True,
+                            with_quantized_params=True,
+                            use_loss_mask=use_loss_mask)
+                        self.qlosses.append((self.iter, qloss_val))
+                        self.qmses.append((self.iter, qmse_val))
+                    loss_val, mse_val, num_pi, num_sv = self.run_batched(
+                        pis_l1, u_l1, train=False,
+                        update_reconstruction=True,
+                        use_loss_mask=use_loss_mask)
+
+                # divergence guard (reference smoe.py:1565-1570)
+                if np.isnan(loss_val) or (
+                        loss_val + 1 > (first_loss + 100) * 10):
+                    print("stop: divergence guard")
+                    break
+
+                if validate:
+                    if self.best_loss is None or loss_val < self.best_loss:
+                        self.best_loss = loss_val
+                        self._snapshot_best()
+                    self.losses.append((self.iter, loss_val))
+                    if self.best_mse is None or mse_val < self.best_mse:
+                        self.best_mse = mse_val
+                    self.mses.append((self.iter, mse_val))
+                    self.num_pis.append((self.iter, num_pi))
+                    self.num_svs.append((self.iter, num_sv))
+                    for cb in callbacks:
+                        cb(self)
+            except KeyboardInterrupt:
+                break
+
+        self.losses_history.append(self.losses)
+        self.mses_history.append(self.mses)
+        print(f"end loss/mse: {loss_val} / {mse_val} @iter {i}")
+        print(f"best loss/mse: {self.best_loss} / {self.best_mse}")
+
+    # ---------------- params access ----------------
+
+    def get_params(self) -> Dict[str, np.ndarray]:
+        """Effective (fake-quantized) params as numpy dict
+        (reference smoe.py:1795-1810 returns the q* tensors)."""
+        eff = apply_qat(self.params, self.cfg)
+        out = {
+            "pis": np.asarray(eff.pis),
+            "musX": np.asarray(eff.musX),
+            "A_diagonal": np.asarray(eff.a_diag),
+            "A_corr": np.asarray(eff.a_corr),
+            "gamma_e": np.asarray(eff.gamma_e),
+            "nu_e": np.asarray(eff.nu_e),
+        }
+        if self.params.motion is not None:
+            m = np.asarray(eff.motion)
+            for i, name in enumerate(
+                    ["h11", "h12", "h13", "h21", "h22", "h23", "h31", "h32"]):
+                out[name] = m[i]
+        return out
+
+    def _snapshot_best(self):
+        self.best_params = self.get_params()
+
+    def get_best_params(self) -> Dict[str, np.ndarray]:
+        """Best-validation snapshot (reference smoe.py:1835-1849)."""
+        return self.best_params if self.best_params is not None \
+            else self.get_params()
+
+    # ---------------- reconstructions ----------------
+
+    def get_reconstruction(self):
+        if not self.valid:
+            self.run_batched(train=False, update_reconstruction=True)
+        return self.reconstruction_image
+
+    def get_qreconstruction(self):
+        if not self.qvalid:
+            self.run_batched(train=False, update_reconstruction=True,
+                             with_quantized_params=True)
+        return self.qreconstruction_image
+
+    def get_weight_matrix_argmax(self):
+        if not self.valid:
+            self.run_batched(train=False, update_reconstruction=True)
+        return self.weight_matrix_argmax
+
+    def get_weight_matrix(self):
+        """Full (K, *spatial) gating map — computed on demand (the reference
+        stitches it every eval, smoe.py:1747-1756; it is large)."""
+        eff = effective_params(self.params, self.cfg, self.musX_grid)
+        outs = []
+        for b in range(self.start_batches):
+            out = _forward_eff(eff, self.cfg, self.bset.coords[b],
+                               self.kernel_lists[b], self.model_mask)
+            outs.append(out.w_e)
+        w = jnp.stack(outs)                        # (B, Nb, K)
+        full = stitch_blocks(w, self.bset)         # (*spatial, K)
+        return np.moveaxis(np.asarray(full), -1, 0)
+
+    def get_original_image(self):
+        return np.squeeze(self.image)
+
+    # histories (reference smoe.py:1857-1885)
+    def get_losses(self): return self.losses
+    def get_qlosses(self): return self.qlosses
+    def get_best_loss(self): return self.best_loss
+    def get_losses_history(self): return self.losses_history
+    def get_mses(self): return self.mses
+    def get_qmses(self): return self.qmses
+    def get_best_mse(self): return self.best_mse
+    def get_mses_history(self): return self.mses_history
+    def get_num_pis(self): return self.num_pis
+    def get_num_svs(self): return self.num_svs
+
+    # ---------------- checkpoint / restore ----------------
+
+    def checkpoint(self, path: str):
+        """Full trainer-state save (reference tf.train.Saver,
+        smoe.py:1066-1070)."""
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state)
+            if self.opt_state is not None else None,
+            "inc_opt_state": jax.tree_util.tree_map(
+                np.asarray, self.inc_opt_state)
+            if self.inc_opt_state is not None else None,
+            "iter": self.iter, "losses": self.losses, "mses": self.mses,
+            "num_pis": self.num_pis, "best_loss": self.best_loss,
+            "best_mse": self.best_mse, "best_params": self.best_params,
+            "kernel_lists": np.asarray(self.kernel_lists),
+            "kernel_count": self.kernel_count,
+            "cfg": self.cfg,
+        }
+        with open(path, "wb") as fd:
+            pickle.dump(state, fd)
+        print(f"Model saved in file: {path}")
+
+    def restore(self, path: str):
+        with open(path, "rb") as fd:
+            state = pickle.load(fd)
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        if state["opt_state"] is not None:
+            if self.opt_state is None:
+                self.set_optimizer()
+            self.opt_state = jax.tree_util.tree_map(
+                jnp.asarray, state["opt_state"])
+        if state["inc_opt_state"] is not None:
+            self.inc_opt_state = jax.tree_util.tree_map(
+                jnp.asarray, state["inc_opt_state"])
+        self.iter = state["iter"]
+        self.losses = state["losses"]
+        self.mses = state["mses"]
+        self.num_pis = state["num_pis"]
+        self.best_loss = state["best_loss"]
+        self.best_mse = state["best_mse"]
+        self.best_params = state["best_params"]
+        self.kernel_lists = jnp.asarray(state["kernel_lists"])
+        self.kernel_count = state.get("kernel_count", self.kernel_count)
+        self.valid = False
+        print(f"Model restored from {path}")
+
+    def re_normalize_pis(self):
+        """pis /= sum(active pis) after restore (reference smoe.py:774-775,
+        smoe_test.py:101-106)."""
+        pis = self.params.pis
+        any_list = jnp.any(self.kernel_lists, axis=0)
+        mask = any_list & (pis > 0)
+        s = jnp.sum(jnp.where(mask, pis, 0.0))
+        self.params = self.params.replace(pis=pis / jnp.maximum(s, 1e-30))
+
+    # ---------------- incremental kernels ----------------
+
+    def reinit_inc(self, plot_dir=None, threshold_rel=0.2):
+        from smoe_tpu.fit.incremental import reinit_inc as _reinit
+        _reinit(self, plot_dir=plot_dir, threshold_rel=threshold_rel)
+
+    def apply_inc(self):
+        from smoe_tpu.fit.incremental import apply_inc as _apply
+        _apply(self)

@@ -1,0 +1,43 @@
+"""Test harness: force CPU with 8 virtual devices so multi-chip sharding
+tests run without a TPU pod (the standard fake-multi-device setup,
+SURVEY.md §4)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; route everything to the CPU
+# backend explicitly (jit respects jax_default_device's platform).
+jax.config.update("jax_default_device", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def toy_image(rng):
+    """Small smooth grayscale test image (32x32x1)."""
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = 0.5 + 0.25 * np.sin(4 * x) * np.cos(3 * y)
+    return img[..., None].astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def toy_rgb(rng):
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.stack([
+        0.5 + 0.3 * np.sin(5 * x),
+        0.5 + 0.3 * np.cos(4 * y),
+        0.4 + 0.2 * np.sin(3 * (x + y)),
+    ], axis=-1)
+    return img.astype(np.float32)
