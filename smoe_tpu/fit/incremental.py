@@ -133,7 +133,7 @@ def reinit_inc(smoe, plot_dir: Optional[str] = None,
         _plot_peaks(diff, peaks, plot_dir, smoe.iter)
 
     def splice(arr, new):
-        arr = np.asarray(arr)
+        arr = np.asarray(arr).copy()
         arr[cap - num_inc:] = new
         return jnp.asarray(arr)
 

@@ -1,0 +1,232 @@
+"""Block partitioning, kernel lists, and trainer integration tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smoe_tpu import Smoe
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core.init import (gen_domain, generate_experts,
+                                generate_kernel_grid, generate_pis,
+                                get_batch_shape, init_params)
+from smoe_tpu.fit.blocks import build_blockset, stitch_blocks
+
+
+class TestInit:
+    def test_domain_inclusive_linspace(self):
+        img = np.zeros((5, 9, 1), np.float32)
+        dom = gen_domain(img, 2)
+        assert dom.shape == (5, 9, 2)
+        np.testing.assert_allclose(dom[0, 0], [0, 0])
+        np.testing.assert_allclose(dom[-1, -1], [1, 1])
+        np.testing.assert_allclose(dom[1, 2], [0.25, 0.25])
+
+    def test_kernel_grid_half_inset(self):
+        cfg = SmoeConfig(dim_domain=2, kernels_per_dim=(4, 4))
+        musX, A = generate_kernel_grid(cfg)
+        assert musX.shape == (16, 2)
+        np.testing.assert_allclose(musX[0], [1 / 8, 1 / 8])
+        np.testing.assert_allclose(musX[-1], [7 / 8, 7 / 8])
+        # A = diag(2*(k+1)) = 10 (reference smoe.py:2152-2159)
+        np.testing.assert_allclose(A[0], 10 * np.eye(2))
+
+    def test_kernel_grid_inverse_cov_squared(self):
+        cfg = SmoeConfig(dim_domain=2, kernels_per_dim=(4, 4),
+                         train_inverse_cov=True)
+        _, A = generate_kernel_grid(cfg)
+        np.testing.assert_allclose(A[0], 100 * np.eye(2))
+
+    def test_expert_means_local_patches(self):
+        img = np.zeros((16, 16, 1), np.float32)
+        img[:8] = 1.0   # top half white
+        cfg = SmoeConfig(dim_domain=2, kernels_per_dim=(2, 2),
+                         num_channels=1)
+        musX, _ = generate_kernel_grid(cfg)
+        nu, gamma = generate_experts(img, musX, cfg)
+        np.testing.assert_allclose(nu[:2, 0], 1.0)   # top kernels
+        np.testing.assert_allclose(nu[2:, 0], 0.0)   # bottom kernels
+        assert gamma.shape == (4, 2, 1)
+        np.testing.assert_allclose(gamma, 0.0)
+
+    def test_pis_normalized(self):
+        np.testing.assert_allclose(generate_pis(10, True), 0.1)
+        np.testing.assert_allclose(generate_pis(10, False), 1.0)
+
+    def test_get_batch_shape_divisors(self):
+        # 32x32 image, want 4 blocks -> 16x16 blocks
+        shape = get_batch_shape(4, (32, 32, 3))
+        assert np.prod([32 // shape[0], 32 // shape[1]]) >= 4
+
+    def test_capacity_padding(self):
+        img = np.full((8, 8, 1), 0.5, np.float32)
+        cfg = SmoeConfig(dim_domain=2, kernels_per_dim=(2, 2),
+                         num_channels=1, add_kernel_slots=6)
+        p = init_params(img, cfg)
+        assert p.pis.shape[0] == 6 + 2 * 4
+        assert np.asarray(p.pis)[4:].sum() == 0   # padded slots dead
+
+
+class TestBlocks:
+    def test_partition_stitch_roundtrip(self, rng):
+        img = rng.uniform(0, 1, (16, 24, 3)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=3)
+        bset = build_blockset(img, cfg, (8, 8))
+        assert bset.coords.shape[0] == 2 * 3
+        out = stitch_blocks(bset.targets, bset)
+        np.testing.assert_allclose(np.asarray(out), img, rtol=1e-6)
+
+    def test_partition_with_overlap(self, rng):
+        img = rng.uniform(0, 1, (16, 16, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=1, overlap=2)
+        bset = build_blockset(img, cfg, (8, 8))
+        assert bset.block_padded == (12, 12)
+        assert int(np.asarray(bset.valid).sum()) == 64
+        out = stitch_blocks(bset.targets, bset)
+        np.testing.assert_allclose(np.asarray(out), img, rtol=1e-6)
+
+    def test_3d_partition(self, rng):
+        vol = rng.uniform(0, 1, (8, 8, 6, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=3, num_channels=1)
+        bset = build_blockset(vol, cfg, (4, 8, 3))
+        assert bset.coords.shape[0] == 2 * 1 * 2
+        out = stitch_blocks(bset.targets, bset)
+        np.testing.assert_allclose(np.asarray(out), vol, rtol=1e-6)
+
+    def test_padded_coords_zero(self, rng):
+        """Zero-padded overlap region carries zero coords+values
+        (reference pads the joint domain with zeros, smoe.py:21)."""
+        img = rng.uniform(0.5, 1, (8, 8, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=1, overlap=1)
+        bset = build_blockset(img, cfg, (8, 8))
+        coords = np.asarray(bset.coords)[0].reshape(10, 10, 2)
+        np.testing.assert_allclose(coords[0], 0.0)   # padded row
+
+
+class TestTrainerIntegration:
+    def test_loss_decreases(self, toy_image):
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        l0, m0, *_ = s.run_batched(train=False)
+        s.set_optimizer()
+        for _ in range(40):
+            s.run_batched(train=True)
+        l1, m1, *_ = s.run_batched(train=False)
+        assert l1 < l0
+        assert m1 < m0
+
+    def test_blocked_matches_global_constant_image(self):
+        """Block-partitioned eval of a constant image == global eval
+        (stitching property, SURVEY §4)."""
+        img = np.full((16, 16, 1), 0.5, np.float32)
+        sg = Smoe(img, kernels_per_dim=[2], use_yuv=False)
+        sb = Smoe(img, kernels_per_dim=[2], batch_size=(8, 8),
+                  use_yuv=False)
+        lg, mg, *_ = sg.run_batched(train=False, update_reconstruction=True)
+        lb, mb, *_ = sb.run_batched(train=False, update_reconstruction=True)
+        np.testing.assert_allclose(mg, mb, rtol=1e-4)
+        np.testing.assert_allclose(sg.get_reconstruction(),
+                                   sb.get_reconstruction(), atol=1e-6)
+
+    def test_best_snapshot_tracks_improvement(self, toy_image):
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        s.set_optimizer()
+        s.train(20, val_iter=10)
+        assert s.best_loss is not None
+        assert s.best_params is not None
+        assert len(s.losses) >= 2
+
+    def test_checkpoint_restore_roundtrip(self, toy_image, tmp_path):
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        s.set_optimizer()
+        for _ in range(5):
+            s.run_batched(train=True)
+        l_before, *_ = s.run_batched(train=False)
+        path = str(tmp_path / "ckpt.pkl")
+        s.checkpoint(path)
+
+        s2 = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        s2.set_optimizer()
+        s2.restore(path)
+        l_after, *_ = s2.run_batched(train=False)
+        np.testing.assert_allclose(l_before, l_after, rtol=1e-5)
+
+    def test_container_save_load(self, toy_image, tmp_path):
+        from smoe_tpu.codec.container import save_model, load_params
+        from smoe_tpu.codec.quantize import quantize_params
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        qp = quantize_params(s.get_params(), s.cfg)
+        path = str(tmp_path / "m.pkl")
+        save_model(path, s.get_params(), s.cfg, qparams=qp)
+        params = load_params(path)
+        assert params["pis"].shape[0] == 9   # reduced to active
+        s2 = Smoe(toy_image, init_params_dict=params, kernels_per_dim=None,
+                  use_yuv=False)
+        l1, m1, *_ = s.run_batched(train=False)
+        l2, m2, *_ = s2.run_batched(train=False)
+        np.testing.assert_allclose(m1, m2, rtol=1e-4)
+
+    def test_quantized_eval_path(self, toy_rgb):
+        from smoe_tpu.codec.quantize import quantize_params, rescaler
+        s = Smoe(toy_rgb, kernels_per_dim=[3])
+        s.set_optimizer()
+        for _ in range(20):
+            s.run_batched(train=True)
+        s.qparams = quantize_params(s.get_params(), s.cfg)
+        s.rparams = rescaler(s.qparams, s.cfg)
+        l, m, *_ = s.run_batched(train=False, update_reconstruction=True,
+                                 with_quantized_params=True)
+        lq, mq, *_ = s.run_batched(train=False, update_reconstruction=True)
+        # 20/18/6/10/10-bit quantization ~ lossless at this scale
+        assert abs(m - mq) / max(mq, 1e-9) < 0.2
+        assert s.get_qreconstruction().shape == toy_rgb.shape
+
+    def test_sampling_percentage(self, toy_image):
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+        s.set_optimizer()
+        l0, *_ = s.run_batched(train=False)
+        for _ in range(30):
+            s.run_batched(train=True, sampling_percentage=50)
+        l1, *_ = s.run_batched(train=False)
+        assert l1 < l0
+
+    def test_train_divergence_guard(self, toy_image):
+        """Huge LR diverges -> guard stops without raising."""
+        from smoe_tpu.config import OptConfig
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False,
+                 opt_cfg=OptConfig(base_lr=1e4))
+        s.set_optimizer()
+        s.train(50, val_iter=5)   # must return, not raise
+
+
+class TestIncremental:
+    def test_peak_local_max(self):
+        from smoe_tpu.fit.incremental import peak_local_max
+        img = np.zeros((64, 64))
+        img[20, 20] = 2.0
+        img[40, 45] = 3.0
+        img[22, 21] = 1.0   # within min_distance of (20,20)
+        peaks = peak_local_max(img, num_peaks=5, min_distance=8)
+        assert (peaks == [40, 45]).all(axis=1).any()
+        assert (peaks == [20, 20]).all(axis=1).any()
+        assert not (peaks == [22, 21]).all(axis=1).any()
+
+    def test_ssim_map_identical(self, rng):
+        from smoe_tpu.fit.incremental import ssim_map
+        img = rng.uniform(0, 1, (32, 32, 3))
+        m = ssim_map(img, img)
+        np.testing.assert_allclose(m, 1.0, atol=1e-7)
+
+    def test_inc_cycle(self, toy_image):
+        """reinit -> train_inc -> apply splices kernels into main block."""
+        s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False,
+                 add_kernel_slots=18)
+        s.set_optimizer()
+        cap = s.params.capacity
+        assert cap == 18 + 2 * 9
+        for _ in range(10):
+            s.run_batched(train=True)
+        s.run_batched(train=False, update_reconstruction=True)
+        n_before = int(np.asarray(s.params.pis > 0).sum())
+        s.reinit_inc()
+        s.run_batched(train=True, with_inc=True, train_inc=True)
+        s.apply_inc()
+        assert s.kernel_count > 9 or n_before >= s.cfg.start_pis

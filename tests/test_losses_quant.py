@@ -1,0 +1,233 @@
+"""Loss, SSIM, fake-quant, and codec round-trip tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core import losses as L
+from smoe_tpu.core.quant import fake_quant
+from smoe_tpu.core.ssim import ssim_per_channel, ssim_loss
+from smoe_tpu.codec.quantize import quantize_params, rescaler, rate_bits
+
+
+class TestPixelLoss:
+    def test_eps_insensitive_formula(self):
+        """loss = mean((|diff| - eps)^2): the reference squares BEFORE the
+        max (smoe.py:932, `maximum(0., square(abs(diff) - eps))`), so this
+        is a V-shaped penalty minimized at |diff| == eps, not a true hinge.
+        We replicate exactly."""
+        cfg = SmoeConfig(precision=8, margin=0.5, use_yuv=False,
+                         num_channels=1)
+        eps = 0.5 / 256
+        diffs = np.array([eps / 2, 0.0, eps, 0.1], np.float32)
+        res = jnp.zeros((4, 1))
+        tgt = jnp.asarray(diffs[:, None])
+        out = L.pixel_loss(res, tgt, cfg)
+        want = np.mean((np.abs(diffs) - eps) ** 2)
+        np.testing.assert_allclose(float(out.loss_pixel), want, rtol=1e-5)
+
+    def test_yuv_weighting(self):
+        """6/8 mean(Y) + 1/8 (mean(U)+mean(V)) (reference smoe.py:933-935)."""
+        cfg = SmoeConfig(precision=8, margin=0.0, use_yuv=True,
+                         num_channels=3)
+        res = jnp.zeros((4, 3))
+        tgt = jnp.asarray(np.tile([[0.1, 0.2, 0.4]], (4, 1)))
+        out = L.pixel_loss(res, tgt, cfg)
+        want = 6 / 8 * 0.01 + 1 / 8 * (0.04 + 0.16)
+        np.testing.assert_allclose(float(out.loss_pixel), want, rtol=1e-5)
+
+    def test_mse_scaling(self):
+        """MSE scaled by (2^precision)^2 (reference smoe.py:1053)."""
+        cfg = SmoeConfig(precision=8, use_yuv=False, num_channels=1)
+        res = jnp.zeros((2, 1))
+        tgt = jnp.full((2, 1), 0.5)
+        out = L.pixel_loss(res, tgt, cfg)
+        np.testing.assert_allclose(float(out.mse), 0.25 * 65536, rtol=1e-6)
+
+    def test_valid_mask_denominator(self):
+        """Masked pixels excluded from both numerator and denominator."""
+        cfg = SmoeConfig(precision=8, margin=0.0, use_yuv=False,
+                         num_channels=1)
+        res = jnp.zeros((4, 1))
+        tgt = jnp.asarray([[1.0], [1.0], [0.0], [0.0]])
+        mask = jnp.asarray([True, True, False, False])
+        out = L.pixel_loss(res, tgt, cfg, valid_mask=mask)
+        np.testing.assert_allclose(float(out.loss_pixel), 1.0, rtol=1e-6)
+
+    def test_loss_weights(self):
+        cfg = SmoeConfig(precision=8, margin=0.0, use_yuv=False,
+                         num_channels=1)
+        res = jnp.zeros((2, 1))
+        tgt = jnp.ones((2, 1))
+        lw = jnp.asarray([1.0, 0.0])
+        out = L.pixel_loss(res, tgt, cfg, loss_weights=lw)
+        np.testing.assert_allclose(float(out.loss_pixel), 0.5, rtol=1e-6)
+
+
+class TestSSIM:
+    def test_identical_images(self, rng):
+        img = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+        s = np.asarray(ssim_per_channel(jnp.asarray(img), jnp.asarray(img)))
+        np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+    def test_matches_direct_gaussian_ssim(self, rng):
+        """Separable implementation == dense 11x11 Gaussian reference."""
+        from scipy.signal import convolve2d
+        img1 = rng.uniform(0, 1, (32, 32, 1)).astype(np.float64)
+        img2 = np.clip(img1 + rng.normal(0, 0.05, img1.shape), 0, 1)
+
+        # dense reference
+        coords = np.arange(11) - 5.0
+        g1 = np.exp(-0.5 * coords ** 2 / 1.5 ** 2)
+        g1 /= g1.sum()
+        w = np.outer(g1, g1)
+
+        def filt(x):
+            return convolve2d(x, w[::-1, ::-1], mode="valid")
+
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        x, y = img1[..., 0], img2[..., 0]
+        ux, uy = filt(x), filt(y)
+        num0 = 2 * ux * uy
+        den0 = ux ** 2 + uy ** 2
+        lum = (num0 + c1) / (den0 + c1)
+        num1 = 2 * filt(x * y)
+        den1 = filt(x * x + y * y)
+        cs = (num1 - num0 + c2) / (den1 - den0 + c2)
+        want = (lum * cs).mean()
+
+        got = float(ssim_per_channel(jnp.asarray(img1, jnp.float32),
+                                     jnp.asarray(img2, jnp.float32))[0])
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_loss_decreases_with_noise(self, rng):
+        img = rng.uniform(0.2, 0.8, (24, 24, 3)).astype(np.float32)
+        noisy1 = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+        noisy2 = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+        l1 = float(ssim_loss(jnp.asarray(noisy1, jnp.float32),
+                             jnp.asarray(img), use_yuv=True))
+        l2 = float(ssim_loss(jnp.asarray(noisy2, jnp.float32),
+                             jnp.asarray(img), use_yuv=True))
+        assert 0 < l1 < l2 < 1
+
+    def test_3d_volume(self, rng):
+        vol = rng.uniform(0, 1, (16, 16, 12, 1)).astype(np.float32)
+        loss = float(ssim_loss(jnp.asarray(vol), jnp.asarray(vol),
+                               use_yuv=False, ndim=3))
+        np.testing.assert_allclose(loss, 0.0, atol=1e-5)
+
+
+class TestFakeQuant:
+    def test_tf_nudging_semantics(self):
+        """TF fake_quant nudging: min=-0.25, max=0.5, bits=2.
+
+        scale=0.25, zero_point_from_min=1 (exact) -> nudged range
+        [-0.25, 0.5], lattice {-0.25, 0, 0.25, 0.5}.
+        """
+        x = jnp.asarray([-0.4, -0.25, -0.1, 0.0, 0.13, 0.3, 0.5, 0.7])
+        q = np.asarray(fake_quant(x, -0.25, 0.5, 2))
+        want = [-0.25, -0.25, 0.0, 0.0, 0.25, 0.25, 0.5, 0.5]
+        np.testing.assert_allclose(q, want, atol=1e-7)
+
+    def test_quant_lattice_properties(self, rng):
+        """Outputs lie on the nudged lattice; error <= scale/2 in-range."""
+        x = rng.uniform(-1.5, 1.5, 200).astype(np.float32)
+        mn, mx, bits = -0.63, 0.87, 6
+        q = np.asarray(fake_quant(jnp.asarray(x), mn, mx, bits))
+        scale = (mx - mn) / (2 ** bits - 1)
+        # all outputs on the lattice (integer multiples of scale from nmin)
+        steps = (q - q.min()) / scale
+        np.testing.assert_allclose(steps, np.round(steps), atol=1e-4)
+        inside = (x > mn + scale) & (x < mx - scale)
+        assert np.all(np.abs(q[inside] - x[inside]) <= scale / 2 + 1e-6)
+
+    def test_zero_exactly_representable(self):
+        q = float(fake_quant(jnp.asarray([0.0]), -0.13, 0.77, 8)[0])
+        assert q == 0.0
+
+    def test_ste_gradient_in_range(self):
+        import jax
+        g = jax.grad(lambda v: fake_quant(v, 0.0, 1.0, 8).sum())(
+            jnp.asarray([0.5, 2.0]))
+        np.testing.assert_allclose(np.asarray(g), [1.0, 0.0])
+
+
+class TestCodecRoundTrip:
+    def _params(self, rng, k=20, d=2, c=3):
+        return {
+            "pis": np.concatenate([rng.uniform(0.01, 1, k - 5),
+                                   np.zeros(5)]).astype(np.float32),
+            "musX": rng.uniform(0, 1, (k, d)).astype(np.float32),
+            "A_diagonal": (np.eye(d) * rng.uniform(5, 50, (k, 1, 1))
+                           ).astype(np.float32),
+            # only the strict lower triangle ever receives gradient
+            "A_corr": np.tril(rng.normal(0, 3, (k, d, d)), -1
+                              ).astype(np.float32),
+            "nu_e": rng.uniform(0, 1, (k, c)).astype(np.float32),
+            "gamma_e": rng.normal(0, 1, (k, d, c)).astype(np.float32),
+        }
+
+    def test_reduce_drops_dead(self, rng):
+        from smoe_tpu.codec.quantize import reduce_params
+        p = self._params(rng)
+        red, idx = reduce_params(p)
+        assert red["pis"].shape[0] == 15
+        assert idx.sum() == 15
+
+    def test_quantize_rescale_bounds(self, rng):
+        """Dequantized values within half a step of originals (mode 0/1,
+        data-derived bounds)."""
+        cfg = SmoeConfig(dim_domain=2, num_channels=3, quantization_mode=1)
+        p = self._params(rng)
+        qp = quantize_params(p, cfg)
+        rp = rescaler(qp, cfg)
+        from smoe_tpu.codec.quantize import reduce_params
+        red, _ = reduce_params(p)
+        for name, bits in [("musX", 18), ("nu_e", 6), ("pis", 10),
+                           ("gamma_e", 10)]:
+            rng_span = red[name].max(0) - red[name].min(0)
+            step = rng_span / (2 ** bits - 1)
+            np.testing.assert_array_less(
+                np.abs(rp[name] - red[name]),
+                np.broadcast_to(step * 0.51 + 1e-9, rp[name].shape))
+        # A reassembled from diag + corr
+        want_A = red["A_diagonal"] + red["A_corr"]
+        span = want_A.max(0) - want_A.min(0)
+        step = span / (2 ** 20 - 1)
+        np.testing.assert_array_less(np.abs(rp["A"] - want_A),
+                                     np.broadcast_to(2 * step * 0.51 + 1e-9,
+                                                     rp["A"].shape))
+
+    def test_quantize_idempotent_bitexact(self, rng):
+        """quantize(rescale(quantize(p))) == quantize(p): the dequantized
+        reconstruction decodes bit-exactly (BASELINE requirement)."""
+        cfg = SmoeConfig(dim_domain=2, num_channels=3, quantization_mode=1)
+        p = self._params(rng)
+        qp1 = quantize_params(p, cfg)
+        rp = rescaler(qp1, cfg)
+        # rebuild full-style params from rescaled and re-quantize
+        p2 = {"pis": rp["pis"], "musX": rp["musX"],
+              "A_diagonal": np.stack([np.diag(np.diag(a)) for a in rp["A"]]),
+              "A_corr": np.stack([np.tril(a, -1) for a in rp["A"]]),
+              "nu_e": rp["nu_e"], "gamma_e": rp["gamma_e"]}
+        qp2 = quantize_params(p2, cfg)
+        for key in ["pis", "musX", "nu_e", "gamma_e", "A_diagonal"]:
+            np.testing.assert_allclose(qp1[key], qp2[key], atol=1.0)
+
+    def test_fixed_bounds_mode2(self, rng):
+        cfg = SmoeConfig(dim_domain=2, num_channels=3, quantization_mode=2,
+                         quantize_pis=True)
+        p = self._params(rng)
+        qp = quantize_params(p, cfg)
+        assert np.all(qp["lower_bounds"]["musX"] == cfg.lower_bounds[1])
+        rp = rescaler(qp, cfg)
+        assert rp["pis"].shape == qp["pis"].shape
+
+    def test_rate_bits(self, rng):
+        cfg = SmoeConfig(dim_domain=2, num_channels=3)
+        p = self._params(rng)
+        qp = quantize_params(p, cfg)
+        bits = rate_bits(qp, cfg)
+        # 15 active kernels x (20*3 + 18*2 + 6*3 + 10 + 10*6) bits
+        assert bits == 15 * (60 + 36 + 18 + 10 + 60)
