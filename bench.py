@@ -1,0 +1,114 @@
+"""Headline benchmark: fit the flagship 512x512 RGB image on one TPU chip.
+
+Metric (BASELINE.md): wall-clock to 32 dB PSNR on 512x512 with the
+reference's default recipe (12 kernels/dim, Adam base_lr 1e-3, pi lr /100,
+A lr x1000 — reference smoe_test.py:264-281).
+
+vs_baseline: speedup factor of the TPU per-iteration time over the SAME
+training computation executed on the host CPU backend (a conservative
+stand-in for the reference's TF1-CPU loop, which additionally pays per-block
+feed_dict transfers; BASELINE.md north star is >= 10x).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_image(size=512):
+    """Deterministic structured test image (edges + texture + gradients)."""
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:size, 0:size] / (size - 1)
+    img = np.stack([
+        0.5 + 0.3 * np.sin(9 * x + 2 * y) * np.cos(5 * y),
+        0.5 + 0.25 * np.cos(7 * (x - 0.3) * (y + 0.2)),
+        0.4 + 0.3 * np.sin(12 * x * y),
+    ], axis=-1)
+    # blocky structure (codec-relevant edges)
+    img[size // 4:size // 2, size // 3:size // 2, 0] += 0.2
+    img[size // 2:, : size // 4, 1] -= 0.15
+    img += rng.normal(0, 0.01, img.shape)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def make_smoe(img, device=None):
+    import jax
+    import jax.numpy as jnp
+    from smoe_tpu import Smoe
+
+    if device is not None:
+        jax.config.update("jax_default_device", device)
+    return Smoe(img, kernels_per_dim=[12], use_yuv=True,
+                use_determinant=True)
+
+
+def time_iters(s, n):
+    t0 = time.time()
+    for _ in range(n):
+        s.run_batched(train=True)
+    # block on the result
+    float(np.asarray(s.params.pis)[0])
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+
+    img = build_image(512)
+    n_pix = img.shape[0] * img.shape[1]
+
+    # ---- TPU fit ----
+    s = make_smoe(img)
+    s.set_optimizer()
+    s.run_batched(train=True)          # compile
+    t_iter_warm = time_iters(s, 10)
+
+    target_psnr = 32.0
+    t0 = time.time()
+    iters = 0
+    psnr = 0.0
+    t_to_target = None
+    max_iters = 20000
+    while iters < max_iters:
+        for _ in range(100):
+            s.run_batched(train=True)
+        iters += 100
+        _, mse, npi, _ = s.run_batched(train=False)
+        psnr = 10 * np.log10((2 ** s.cfg.precision) ** 2 / mse)
+        if t_to_target is None and psnr >= target_psnr:
+            t_to_target = time.time() - t0
+            break
+    total_t = time.time() - t0
+
+    # ---- CPU reference point (same computation, host backend) ----
+    cpu = jax.devices("cpu")[0]
+    s_cpu = make_smoe(img, device=cpu)
+    s_cpu.set_optimizer()
+    s_cpu.run_batched(train=True)      # compile
+    t_iter_cpu = time_iters(s_cpu, 3)
+
+    evals_per_sec = n_pix * int(npi) / t_iter_warm
+    speedup = t_iter_cpu / t_iter_warm
+    out = {
+        "metric": "wallclock_to_32dB_512x512_rgb",
+        "value": round(t_to_target if t_to_target is not None else total_t, 3),
+        "unit": "s",
+        "vs_baseline": round(speedup, 2),
+        "reached_32db": t_to_target is not None,
+        "final_psnr_db": round(float(psnr), 2),
+        "iters": iters,
+        "tpu_s_per_iter": round(t_iter_warm, 5),
+        "cpu_s_per_iter": round(t_iter_cpu, 5),
+        "pixel_kernel_evals_per_sec_per_chip": round(evals_per_sec, 0),
+        "active_kernels": int(npi),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

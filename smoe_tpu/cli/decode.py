@@ -1,0 +1,88 @@
+"""Decode path B: reconstruct from a quantized-params pickle alone (the
+bitstream stand-in) — no original image required
+(reference smoe_reconstruction_decoded.py:16-62).
+
+Usage:
+    python -m smoe_tpu.cli.decode -p qparams.pkl -r out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def main(args=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--image_path", type=str, default=None)
+    p.add_argument("-r", "--results_path", type=str, default="/tmp")
+    p.add_argument("-p", "--params_file", type=str, required=True)
+    p.add_argument("-b", "--batches", type=int, default=1)
+    a = p.parse_args(args)
+
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.quantize import rescaler
+    from smoe_tpu.config import SmoeConfig
+    from smoe_tpu.io.images import read_image, write_image
+
+    with open(a.params_file, "rb") as fd:
+        cp = pickle.load(fd)
+
+    img_shape = tuple(int(v) for v in np.ravel(cp["shape_of_img"]))
+    c = int(np.ravel(cp.get("dim_of_output", [3]))[0])
+    dim = len(img_shape)
+
+    if a.image_path is not None:
+        orig, precision, _ = read_image(a.image_path)
+    else:
+        orig = np.zeros(img_shape + (c,), np.float32)
+        precision = 8
+
+    # decoder rebuilds the model from the stored grid (reference :22,29)
+    k = [max(int(s // 4), 1) for s in img_shape]
+    cfg_kw = dict(
+        use_determinant=bool(np.ravel(cp.get("used_determinants",
+                                             cp.get("use_determinant",
+                                                    True)))[0]),
+        use_yuv=bool(np.ravel(cp.get("use_yuv", True))[0]) and c == 3,
+        use_diff_center=bool(np.ravel(cp.get("use_diff_center", False))[0]),
+        radial_as=bool(np.ravel(cp.get("radial_as", False))[0]),
+        precision=precision)
+
+    batches = a.batches
+    rec = None
+    while rec is None:
+        smoe = Smoe(orig, kernels_per_dim=k, start_batches=batches, **cfg_kw)
+        cfg = smoe.cfg
+
+        used = np.asarray(cp["used_kernels"]).astype(bool).reshape(-1)
+        rp = rescaler(cp, cfg,
+                      musX_grid=(np.asarray(smoe.musX_grid)[used[:len(
+                          np.asarray(smoe.musX_grid))]]
+                          if cfg.use_diff_center and smoe.musX_grid is not None
+                          else None))
+        smoe.qparams = dict(cp)
+        smoe.qparams["used_kernels"] = used
+        smoe.rparams = rp
+        try:
+            smoe.run_batched(train=False, update_reconstruction=True,
+                             with_quantized_params=True)
+            rec = smoe.get_qreconstruction()
+        except Exception as e:           # OOM retry with more blocks
+            print(f"decode failed ({e}); retrying with {2 * batches} blocks")
+            batches *= 2
+            if batches > 4096:
+                raise
+
+    os.makedirs(a.results_path, exist_ok=True)
+    out = write_image(rec, os.path.join(a.results_path, "output"),
+                      dim, yuv=cfg_kw["use_yuv"], precision=precision)
+    print(f"wrote {out}")
+    return rec
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Training CLI — the reference's smoe_test.py main (argparse surface
+smoe_test.py:260-356), flag-compatible where it makes sense.
+
+Usage:
+    python -m smoe_tpu.cli.fit -i image.png -r results/ [-n 10000 -k 12 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--image_path", type=str, required=True)
+    p.add_argument("-r", "--results_path", type=str, required=True)
+    p.add_argument("-n", "--iterations", type=int, default=10000)
+    p.add_argument("-ni", "--iterations_inc", type=int, default=1000)
+    p.add_argument("-na", "--iterations_all", type=int, default=1000)
+    p.add_argument("-is", "--inc_steps", type=int, default=0)
+    p.add_argument("-tr", "--threshold_rel", type=float, default=0.2)
+    p.add_argument("-v", "--validation_iterations", type=int, default=100)
+    p.add_argument("-k", "--kernels_per_dim", type=int, default=[12],
+                   nargs="+")
+    p.add_argument("-p", "--params_file", type=str, default=None)
+    p.add_argument("-reg", "--l1reg", type=float, default=0)
+    p.add_argument("-lr", "--base_lr", type=float, default=1e-3)
+    p.add_argument("-b", "--batches", type=int, default=1)
+    p.add_argument("-bz", "--batch_size", type=int, default=None, nargs="+")
+    p.add_argument("-c", "--checkpoint_path", type=str, default=None)
+    p.add_argument("-d", "--lr_div", type=float, default=100)
+    p.add_argument("-m", "--lr_mult", type=float, default=1000)
+    p.add_argument("-msv", "--lr_mult_sv", type=float, default=1)
+    p.add_argument("-dp", "--disable_train_pis", type=str2bool, default=False)
+    p.add_argument("-dg", "--disable_train_gammas", type=str2bool,
+                   default=False)
+    p.add_argument("-dm", "--disable_train_musx", type=str2bool,
+                   default=False)
+    p.add_argument("-udc", "--use_diff_center", type=str2bool, default=False)
+    p.add_argument("-ra", "--radial_as", type=str2bool, default=False)
+    p.add_argument("-ud", "--use_determinant", type=str2bool, default=True)
+    p.add_argument("-np", "--normalize_pis", type=str2bool, default=True)
+    p.add_argument("-qm", "--quantization_mode", type=int, default=0)
+    p.add_argument("-bd", "--bit_depths", type=int, nargs="+",
+                   default=[20, 18, 6, 10, 10])
+    p.add_argument("-qp", "--quantize_pis", type=str2bool, default=True)
+    p.add_argument("-lb", "--lower_bounds", type=float, nargs="+",
+                   default=[-2500, -0.3, -5, 0, -32])
+    p.add_argument("-ub", "--upper_bounds", type=float, nargs="+",
+                   default=[2500, 1.3, 5, 2, 32])
+    p.add_argument("-yuv", "--use_yuv", type=str2bool, default=True)
+    p.add_argument("-oyg", "--only_y_gamma", type=str2bool, default=False)
+    p.add_argument("-ssim", "--ssim_opt", type=str2bool, default=False)
+    p.add_argument("-sp", "--sampling_percentage", type=int, default=100)
+    p.add_argument("-ukl", "--update_kernel_list_iterations", type=int,
+                   default=None)
+    p.add_argument("-ovl", "--overlap_of_batches", type=int, default=0)
+    p.add_argument("-svreg", "--svreg", type=float, default=0)
+    p.add_argument("-hpc", "--hpc_mode", type=str2bool, default=False)
+    p.add_argument("-cis", "--current_inc_step", type=int, default=0)
+    p.add_argument("-kcn", "--kernel_count_norm_l1", type=str2bool,
+                   default=False)
+    p.add_argument("-tvs", "--train_svs", type=str2bool, default=False)
+    p.add_argument("-tt", "--train_trafo", type=str2bool, default=False)
+    p.add_argument("-npm", "--num_params_model", type=int, default=6)
+    p.add_argument("-tiv", "--train_inverse_cov", type=str2bool,
+                   default=False)
+    p.add_argument("-if", "--init_flag", type=float, default=1)
+    p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
+    return p
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    from smoe_tpu import Smoe
+    from smoe_tpu.config import OptConfig
+    from smoe_tpu.codec.container import load_params, save_model
+    from smoe_tpu.diag.log import JsonlLogger, ModelLogger
+    from smoe_tpu.diag.plots import ImagePlotter, LossPlotter
+    from smoe_tpu.io.images import read_image
+
+    if len(args.bit_depths) != 5:
+        raise ValueError("Number of bit depths must be five!")
+    if args.num_params_model not in (2, 4, 6, 8):
+        raise ValueError(f"num_params_model == {args.num_params_model} "
+                         "is not a valid motion parameter model")
+    if args.ssim_opt:
+        args.sampling_percentage = 100
+    if not (0 < args.sampling_percentage <= 100):
+        raise ValueError("Sampling percentage must be in (0, 100]")
+    quantize_pis = args.quantize_pis or args.quantization_mode >= 2
+
+    orig, precision, affines = read_image(args.image_path, args.use_yuv)
+    use_yuv = args.use_yuv and orig.shape[-1] == 3
+
+    init_params_dict = load_params(args.params_file) \
+        if args.params_file else None
+    loss_mask = None
+    if args.loss_mask_path:
+        loss_mask = np.load(args.loss_mask_path)["loss_mask"]
+
+    if args.results_path:
+        if os.path.exists(args.results_path):
+            shutil.rmtree(args.results_path)
+        os.makedirs(args.results_path)
+
+    kpd = args.kernels_per_dim
+    if len(kpd) == 1:
+        kpd = kpd * (orig.ndim - 1)
+
+    dim = orig.ndim - 1
+    smoe = Smoe(
+        orig, kernels_per_dim=kpd, init_params_dict=init_params_dict,
+        start_batches=args.batches,
+        batch_size=tuple(args.batch_size) if args.batch_size else None,
+        loss_mask=loss_mask,
+        opt_cfg=OptConfig(base_lr=args.base_lr, lr_div=args.lr_div,
+                          lr_mult=args.lr_mult, lr_mult_sv=args.lr_mult_sv),
+        train_pis=not args.disable_train_pis,
+        train_gammas=not args.disable_train_gammas,
+        train_musx=not args.disable_train_musx,
+        use_diff_center=args.use_diff_center, radial_as=args.radial_as,
+        use_determinant=args.use_determinant,
+        normalize_pis=args.normalize_pis,
+        quantization_mode=args.quantization_mode,
+        bit_depths=tuple(args.bit_depths), quantize_pis=quantize_pis,
+        lower_bounds=tuple(args.lower_bounds),
+        upper_bounds=tuple(args.upper_bounds),
+        use_yuv=use_yuv, only_y_gamma=args.only_y_gamma and use_yuv,
+        ssim_opt=args.ssim_opt, precision=precision,
+        add_kernel_slots=args.inc_steps * int(np.prod(kpd)),
+        overlap=args.overlap_of_batches,
+        kernel_count_as_norm_l1=args.kernel_count_norm_l1,
+        train_svs=args.train_svs, train_trafo=args.train_trafo,
+        num_params_model=args.num_params_model,
+        train_inverse_cov=args.train_inverse_cov,
+    )
+    smoe.set_optimizer()
+
+    if args.checkpoint_path:
+        smoe.restore(args.checkpoint_path)
+        if args.normalize_pis:
+            smoe.re_normalize_pis()
+        smoe.update_kernel_list()
+
+    callbacks = [
+        LossPlotter(path=os.path.join(args.results_path, "loss.png")).plot,
+        ImagePlotter(path=args.results_path,
+                     options=(["orig", "reconstruction", "gating",
+                               "supportvectors", "pis_hist"]
+                              if args.train_svs else
+                              ["orig", "reconstruction", "gating",
+                               "pis_hist"])).plot,
+        ModelLogger(path=args.results_path).log,
+        JsonlLogger(os.path.join(args.results_path, "metrics.jsonl")).log,
+    ]
+
+    if args.iterations:
+        smoe.train(args.iterations, val_iter=args.validation_iterations,
+                   ukl_iter=args.update_kernel_list_iterations,
+                   pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                   sampling_percentage=args.sampling_percentage,
+                   use_loss_mask=loss_mask is not None,
+                   callbacks=callbacks)
+
+    # incremental kernel loop (reference smoe_test.py:221-245)
+    if args.inc_steps and (not args.hpc_mode or args.iterations == 0):
+        for i in range(args.inc_steps):
+            print(f"[{i}/{args.inc_steps}]")
+            smoe.reinit_inc(threshold_rel=args.threshold_rel,
+                            plot_dir=args.results_path)
+            smoe.apply_inc()
+            smoe.train(args.iterations_inc,
+                       val_iter=args.validation_iterations,
+                       pis_l1=0, sv_l1_sub_l2=args.svreg,
+                       callbacks=callbacks)
+            smoe.train(args.iterations_all,
+                       val_iter=args.validation_iterations,
+                       pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                       callbacks=callbacks)
+            if args.hpc_mode:
+                break
+
+    quant = args.quantization_mode != 0
+    if quant and smoe.qparams is None:
+        from smoe_tpu.codec.quantize import quantize_params
+        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
+    save_model(os.path.join(args.results_path, "params_best.pkl"),
+               smoe.get_best_params(), smoe.cfg,
+               qparams=smoe.qparams if quant else None,
+               losses=smoe.get_losses(), mses=smoe.get_mses(),
+               num_pis=smoe.get_num_pis())
+    save_model(os.path.join(args.results_path, "params_last.pkl"),
+               smoe.get_params(), smoe.cfg,
+               qparams=smoe.qparams if quant else None,
+               losses=smoe.get_losses(), mses=smoe.get_mses(),
+               num_pis=smoe.get_num_pis())
+    return smoe
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Decode path A: rebuild from a params pickle, optionally quantize ->
+rescale, reconstruct, write image + qparams pickle
+(reference smoe_reconstruction.py:15-104).
+
+Usage:
+    python -m smoe_tpu.cli.reconstruct -i image.png -p params.pkl -r out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def main(args=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--image_path", type=str, required=True)
+    p.add_argument("-r", "--results_path", type=str, default="/tmp")
+    p.add_argument("-p", "--params_file", type=str, required=True)
+    p.add_argument("-b", "--batches", type=int, default=1)
+    p.add_argument("-q", "--quantize", type=lambda v: v.lower() in
+                   ("1", "true", "yes"), default=True)
+    p.add_argument("-bd", "--bit_depths", type=int, nargs="+",
+                   default=[20, 18, 6, 10, 10])
+    a = p.parse_args(args)
+
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.container import load_model
+    from smoe_tpu.codec.quantize import quantize_params, rescaler
+    from smoe_tpu.io.images import read_image, write_image
+
+    orig, precision, _ = read_image(a.image_path)
+    cp = load_model(a.params_file)
+    params = cp["params"]
+
+    smoe = Smoe(orig, init_params_dict=params, start_batches=a.batches,
+                use_yuv=bool(cp.get("use_yuv", True)) and orig.shape[-1] == 3,
+                use_determinant=bool(cp.get("use_determinant", True)),
+                use_diff_center=bool(cp.get("use_diff_center", False)),
+                precision=precision, bit_depths=tuple(a.bit_depths),
+                quantization_mode=int(cp.get("quantization_mode", 0)))
+
+    os.makedirs(a.results_path, exist_ok=True)
+    if a.quantize:
+        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
+        smoe.rparams = rescaler(
+            smoe.qparams, smoe.cfg,
+            None if smoe.musX_grid is None else
+            np.asarray(smoe.musX_grid)[
+                np.asarray(smoe.qparams["used_kernels"])])
+        loss, mse, *_ = smoe.run_batched(
+            train=False, update_reconstruction=True,
+            with_quantized_params=True)
+        rec = smoe.get_qreconstruction()
+        with open(os.path.join(a.results_path, "qparams.pkl"), "wb") as fd:
+            pickle.dump({**smoe.qparams,
+                         "shape_of_img": orig.shape[:-1],
+                         "dim_of_output": orig.shape[-1],
+                         "used_determinants": smoe.cfg.use_determinant},
+                        fd)
+    else:
+        loss, mse, *_ = smoe.run_batched(train=False,
+                                         update_reconstruction=True)
+        rec = smoe.get_reconstruction()
+
+    psnr = 10 * np.log10((2 ** precision) ** 2 / mse)
+    print(f"decode loss {loss:.6f} mse {mse:.2f} psnr {psnr:.2f} dB")
+    out = write_image(rec, os.path.join(a.results_path, "output"),
+                      smoe.cfg.dim_domain, yuv=smoe.cfg.use_yuv,
+                      precision=precision)
+    print(f"wrote {out}")
+    return rec
+
+
+if __name__ == "__main__":
+    main()

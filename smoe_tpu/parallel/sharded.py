@@ -1,0 +1,260 @@
+"""Multi-chip SMoE training: shard_map over a (blocks, kernels) mesh.
+
+The reference is strictly single-device (one tf.InteractiveSession,
+reference smoe.py:277).  SURVEY.md §2.2 maps the parallelism strategies onto
+this model:
+
+  * "sequence parallelism" == sharding the PIXEL-BLOCK axis: each device owns
+    B/nb blocks of the image, runs the same per-block loss, and the
+    accumulated gradients are psum'd over the block axis — the TPU-native
+    version of the reference's block-sequential gradient accumulation
+    (smoe.py:1145-1151, 1785-1790).
+  * tensor/expert parallelism == sharding the KERNEL axis K: the only
+    cross-shard reduction in the forward pass is the gating denominator
+    sum_j pi_j N_j (reference smoe.py:820) plus the partial expert sums —
+    both become psum over the kernel axis.
+  * data parallelism for RD sweeps is plain vmap/shard_map over images
+    (see fit_many below).
+
+Everything rides ICI collectives; there is no point-to-point communication.
+The Adam update runs inside shard_map on the kernel shards (elementwise), so
+parameters, optimizer state, and gradients never leave their shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core import losses as Lo
+from smoe_tpu.core.model import (DENOM_FLOOR, kernel_quadratics,
+                                 quadratic_features, fake_quant_unit)
+from smoe_tpu.core.params import SmoeParams
+from smoe_tpu.core.quant import apply_qat
+
+
+def make_mesh(n_blocks: int, n_kernels: int = 1,
+              devices=None) -> Mesh:
+    """Create a (blocks, kernels) device mesh."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_blocks * n_kernels
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev = np.asarray(devices[:n]).reshape(n_blocks, n_kernels)
+    return Mesh(dev, ("b", "k"))
+
+
+def _param_specs(params: SmoeParams) -> SmoeParams:
+    """PartitionSpec pytree: kernel-indexed leaves sharded on 'k'."""
+    def spec(name, x):
+        if x is None:
+            return None
+        if name in ("motion", "sv", "sv_bw_diag", "sv_bw_corr"):
+            return P()
+        return P("k")
+    return SmoeParams(**{f: spec(f, getattr(params, f))
+                         for f in SmoeParams.FIELDS})
+
+
+def _sharded_forward(eff: SmoeParams, cfg: SmoeConfig, coords: jnp.ndarray,
+                     kmask: jnp.ndarray, kernel_axis: str):
+    """Forward with the kernel axis sharded: psum for gating denominator and
+    partial expert sums."""
+    # assemble A on the local shard
+    from smoe_tpu.core.params import assemble_A
+    A = assemble_A(eff, cfg)
+    if cfg.train_inverse_cov:
+        B = A
+    else:
+        B = jnp.einsum("klm,knm->kln", A, A)
+    q = kernel_quadratics(B, eff.musX)
+    phi = quadratic_features(coords)
+    maha = jnp.dot(phi, q.T, preferred_element_type=jnp.float32)
+
+    mask = kmask & (eff.pis > 0)
+    n_exp = jnp.exp(-0.5 * jnp.where(mask[None, :], maha, 0.0))
+    if cfg.use_determinant:
+        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+        n_quo = jnp.prod(diag_A, axis=-1) / np.sqrt(
+            (2.0 * np.pi) ** cfg.dim_domain)
+        n_exp = n_exp * n_quo[None, :]
+    n_w = n_exp * jnp.where(mask, eff.pis, 0.0)[None, :]
+    denom_local = jnp.sum(n_w, axis=1, keepdims=True)
+    denom = jax.lax.psum(denom_local, kernel_axis)          # <- TP collective
+    denom = jnp.maximum(DENOM_FLOOR, denom)
+    w_e = n_w / denom
+    w_e = w_e * (w_e > cfg.minimum_influence)
+
+    k, d, c = eff.gamma_e.shape
+    res = jnp.dot(w_e, eff.nu_e, preferred_element_type=jnp.float32)
+    if cfg.train_gammas:
+        g = jnp.dot(w_e, eff.gamma_e.reshape(k, d * c),
+                    preferred_element_type=jnp.float32).reshape(-1, d, c)
+        res = res + jnp.einsum("nd,ndc->nc", coords, g)
+    res = jax.lax.psum(res, kernel_axis)                    # <- partial sums
+    res = jnp.clip(res, 0.0, 1.0)
+    res = fake_quant_unit(res, cfg.precision)
+    survivors = jnp.any(w_e > cfg.minimum_influence, axis=0)
+    return res, survivors
+
+
+def make_sharded_train_step(cfg: SmoeConfig, mesh: Mesh, tx,
+                            block_weight: float):
+    """Build the jitted multi-chip train step.
+
+    Inputs at call time:
+      params     SmoeParams, kernel leaves sharded P('k')
+      opt_state  matching sharding
+      coords     (B, Nb, d)   sharded P('b')
+      targets    (B, Nb, C)   sharded P('b')
+      klists     (B, K)       sharded P('b', 'k')
+      reg        (pis_l1, u_l1) scalars
+
+    One step == one full sweep over all blocks with psum-accumulated grads
+    (gradient accumulation across the block axis), then the Adam update on
+    the kernel shards.
+    """
+
+    def device_fn(params, coords, targets, klists, pis_l1, u_l1):
+        def block_loss(p, c_blk, t_blk, kmask):
+            eff = apply_qat(p, cfg)
+            res, _ = _sharded_forward(eff, cfg, c_blk, kmask, "k")
+            la = Lo.pixel_loss(res, t_blk, cfg)
+            active = kmask & (eff.pis > 0)
+            num_active = jax.lax.psum(jnp.sum(eff.pis > 0), "k")
+            norm = (num_active.astype(jnp.float32)
+                    if cfg.kernel_count_as_norm_l1 else float(cfg.start_pis))
+            reg1 = pis_l1 * jax.lax.psum(
+                jnp.sum(jnp.where(active, eff.pis, 0.0)), "k") / norm
+            from smoe_tpu.core.params import assemble_A
+            diag_A = jnp.diagonal(assemble_A(eff, cfg), axis1=1, axis2=2)
+            reg2 = u_l1 * jax.lax.psum(
+                jnp.sum(jnp.where(active[:, None], diag_A, 0.0)), "k")
+            return la.loss_pixel + reg1 + reg2, la.mse
+
+        grad_fn = jax.value_and_grad(block_loss, has_aux=True)
+
+        def body(carry, xs):
+            g_acc, loss_acc, mse_acc = carry
+            c_blk, t_blk, kmask = xs
+            (loss, mse), g = grad_fn(params, c_blk, t_blk, kmask)
+            g_acc = jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g)
+            return (g_acc, loss_acc + block_weight * loss,
+                    mse_acc + block_weight * mse), None
+
+        def _vary(x):
+            try:
+                return jax.lax.pcast(x, ("b",), to="varying")
+            except AttributeError:  # older jax
+                return jax.lax.pvary(x, ("b",))
+
+        zero_g = jax.tree_util.tree_map(
+            lambda x: _vary(jnp.zeros_like(x)), params)
+        zero_s = _vary(jnp.float32(0.0))
+        (grads, loss, mse), _ = jax.lax.scan(
+            body, (zero_g, zero_s, zero_s), (coords, targets, klists))
+
+        # gradient accumulation across the block axis (DP/SP collective)
+        grads = jax.lax.psum(grads, "b")
+        loss = jax.lax.psum(loss, "b")
+        mse = jax.lax.psum(mse, "b")
+        return grads, loss, mse
+
+    import optax
+    from smoe_tpu.parallel.compat import shard_map as _shard_map
+
+    @jax.jit
+    def step(params, opt_state, coords, targets, klists, pis_l1, u_l1):
+        specs = _param_specs(params)
+        grads, loss, mse = _shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(specs, P("b"), P("b"), P("b", "k"), P(), P()),
+            out_specs=(specs, P(), P()),
+        )(params, coords, targets, klists, pis_l1, u_l1)
+        # Adam is elementwise: GSPMD keeps the update on the kernel shards.
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse
+
+    return step
+
+
+def shard_inputs(mesh: Mesh, params: SmoeParams, coords, targets, klists):
+    """Device_put everything with the canonical shardings."""
+    specs = _param_specs(params)
+    pshard = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s) if s is not None else None, specs,
+        is_leaf=lambda x: isinstance(x, P) or x is None)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s) if s is not None else x,
+        params, pshard)
+    coords = jax.device_put(coords, NamedSharding(mesh, P("b")))
+    targets = jax.device_put(targets, NamedSharding(mesh, P("b")))
+    klists = jax.device_put(klists, NamedSharding(mesh, P("b", "k")))
+    return params, coords, targets, klists
+
+
+def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
+             mesh: Optional[Mesh] = None):
+    """Data-parallel RD-sweep fan-out: fit independent SMoE models to a
+    batch of images, one (or more) per device (SURVEY §2.2 DP row).
+
+    images: (M, *spatial, C) equal-shaped batch.
+    Returns final per-image MSEs.  Embarrassingly parallel: vmapped fit
+    jitted once, sharded over the batch axis.
+    """
+    from smoe_tpu.core.init import init_params
+    import optax
+
+    imgs = np.asarray(images, np.float32)
+    m = imgs.shape[0]
+    ps = [init_params(imgs[i], cfg) for i in range(m)]
+    batched = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ps)
+
+    d = cfg.dim_domain
+    from smoe_tpu.core.init import gen_domain
+    coords = jnp.asarray(gen_domain(imgs[0], d).reshape(-1, d))
+    targets = jnp.asarray(imgs.reshape(m, -1, imgs.shape[-1]))
+
+    tx = optax.adam(1e-3)
+    opt_state = jax.vmap(tx.init)(batched)
+
+    def one_loss(p, tgt):
+        eff = apply_qat(p, cfg)
+        from smoe_tpu.fit.trainer import effective_params, _forward_eff
+        e = effective_params(p, cfg, None)
+        out = _forward_eff(e, cfg, coords,
+                           jnp.ones((p.pis.shape[0],), bool), None)
+        la = Lo.pixel_loss(out.res, tgt, cfg)
+        return la.loss_pixel, la.mse
+
+    def one_step(p, s, tgt):
+        (l, mse), g = jax.value_and_grad(one_loss, has_aux=True)(p, tgt)
+        upd, s = tx.update(g, s, p)
+        import optax as _o
+        return _o.apply_updates(p, upd), s, mse
+
+    @jax.jit
+    def run(batched, opt_state, targets):
+        def body(carry, _):
+            b, s = carry
+            b, s, mse = jax.vmap(one_step)(b, s, targets)
+            return (b, s), mse
+        (b, s), mses = jax.lax.scan(body, (batched, opt_state), None,
+                                    length=steps)
+        return b, mses[-1]
+
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        targets = jax.device_put(targets, sh)
+        batched = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batched)
+
+    final, mse = run(batched, opt_state, targets)
+    return final, np.asarray(mse)
