@@ -48,11 +48,9 @@ def make_smoe(img, device=None):
 
 
 def time_iters(s, n):
+    """Steady-state per-iteration time using the chunked device-side loop."""
     t0 = time.time()
-    for _ in range(n):
-        s.run_batched(train=True)
-    # block on the result
-    float(np.asarray(s.params.pis)[0])
+    s.run_batched_chunk(n)
     return (time.time() - t0) / n
 
 
@@ -65,20 +63,19 @@ def main():
     # ---- TPU fit ----
     s = make_smoe(img)
     s.set_optimizer()
-    s.run_batched(train=True)          # compile
-    t_iter_warm = time_iters(s, 10)
+    s.run_batched_chunk(100)           # compile + warm
+    t_iter_warm = time_iters(s, 100)
 
     target_psnr = 32.0
     t0 = time.time()
-    iters = 0
+    iters = 100
     psnr = 0.0
     t_to_target = None
     max_iters = 20000
     while iters < max_iters:
-        for _ in range(100):
-            s.run_batched(train=True)
+        _, mse_a, npi_a, _ = s.run_batched_chunk(100)
         iters += 100
-        _, mse, npi, _ = s.run_batched(train=False)
+        mse, npi = mse_a[-1], npi_a[-1]
         psnr = 10 * np.log10((2 ** s.cfg.precision) ** 2 / mse)
         if t_to_target is None and psnr >= target_psnr:
             t_to_target = time.time() - t0

@@ -125,6 +125,7 @@ def main(args=None):
     dim = orig.ndim - 1
     smoe = Smoe(
         orig, kernels_per_dim=kpd, init_params_dict=init_params_dict,
+        affines=affines, init_flag=args.init_flag,
         start_batches=args.batches,
         batch_size=tuple(args.batch_size) if args.batch_size else None,
         loss_mask=loss_mask,
@@ -176,6 +177,25 @@ def main(args=None):
                    sampling_percentage=args.sampling_percentage,
                    use_loss_mask=loss_mask is not None,
                    callbacks=callbacks)
+
+        # video: per-time-slab kernel reseeding + retrain
+        # (reference smoe_test.py:123-207; pis LR x10 for the refits)
+        if dim == 3 and affines is not None:
+            smoe.set_optimizer(OptConfig(
+                base_lr=args.base_lr, lr_div=args.lr_div / 10,
+                lr_mult=args.lr_mult, lr_mult_sv=args.lr_mult_sv))
+            for kk in range(kpd[2]):
+                try:
+                    smoe.reseed_time_slab(kk, rng=kk)
+                except ValueError as e:
+                    print(f"reseed stopped: {e}")
+                    break
+                its = 5000 if kk == kpd[2] - 1 else 1000
+                smoe.train(its, val_iter=args.validation_iterations,
+                           ukl_iter=args.update_kernel_list_iterations,
+                           pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                           sampling_percentage=args.sampling_percentage,
+                           callbacks=callbacks)
 
     # incremental kernel loop (reference smoe_test.py:221-245)
     if args.inc_steps and (not args.hpc_mode or args.iterations == 0):

@@ -61,11 +61,14 @@ class SmoeConfig:
     num_params_model: int = 6                # 2 / 4 / 6 / 8 motion params
     num_frames: int = 0                      # frames (dim_domain==3 only)
     dual_model: bool = False                 # fg/bg dual kernel set (smoe.py:280-329)
+    start_pis_override: int = 0              # data-dependent K (video init strategies)
 
     # --- misc ---
     kernel_count_as_norm_l1: bool = False
     train_svs: bool = False                  # support-vector residual (smoe.py:402-426)
+    sv_threshold: float = 0.02               # thr_sv zeroing bound (smoe.py:404, 852)
     compute_dtype: str = "float32"           # matmul dtype; "bfloat16" opt-in
+    use_pallas: str = "auto"                 # fused gate+expert kernel: auto/on/off
 
     # ---- derived helpers ----
 
@@ -82,13 +85,15 @@ class SmoeConfig:
         arrays hold `add_kernel_slots + 2*start_pis` kernels (main block of
         start_pis+add_kernel_slots and an inc block of start_pis).
         """
-        k = self.num_kernels_grid * (2 if self.dual_model else 1)
+        k = self.start_pis
         if self.add_kernel_slots > 0:
             return self.add_kernel_slots + 2 * k
         return k
 
     @property
     def start_pis(self) -> int:
+        if self.start_pis_override > 0:
+            return self.start_pis_override
         return self.num_kernels_grid * (2 if self.dual_model else 1)
 
     @property

@@ -141,10 +141,27 @@ def init_params(image: np.ndarray, cfg: SmoeConfig,
         from smoe_tpu.core.params import init_motion_identity
         motion = np.asarray(init_motion_identity(cfg.num_frames or image.shape[2]))
 
+    sv = sv_bw_diag = sv_bw_corr = None
+    if cfg.train_svs:
+        # per-pixel SV coefficients (zero) and bandwidth factors
+        # A_SV = diag(sqrt(34/2 * 50/32 * sqrt(N))) (reference smoe.py:411-426),
+        # stored in block-flattened pixel order.
+        spatial = image.shape[:d]
+        bs = cfg.block_shape or spatial
+        win = tuple(b + 2 * cfg.overlap for b in bs)
+        nblocks = int(np.prod([s // b for s, b in zip(spatial, bs)]))
+        n_sv = nblocks * int(np.prod(win))
+        n_joint = float(np.prod(spatial))
+        bw0 = np.sqrt(34.0 / 2.0 * 50.0 / 32.0 * np.sqrt(n_joint))
+        sv = np.zeros((n_sv, 1), np.float32)
+        sv_bw_diag = np.tile((bw0 * np.eye(d, dtype=np.float32))[None],
+                             (n_sv, 1, 1))
+        sv_bw_corr = np.zeros_like(sv_bw_diag)
+
     return SmoeParams(
         musX=pad(musX, cap), a_diag=a_diag, a_corr=a_corr,
         pis=pad(pis, cap), nu_e=pad(nu_e, cap), gamma_e=pad(gamma_e, cap),
-        motion=motion)
+        motion=motion, sv=sv, sv_bw_diag=sv_bw_diag, sv_bw_corr=sv_bw_corr)
 
 
 def get_batch_shape(desired_batches: int, domain_shape: Sequence[int]

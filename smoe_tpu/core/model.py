@@ -31,7 +31,7 @@ mirroring the reference's feed-point override of the assembled A
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,83 @@ def fake_quant_unit(x: jnp.ndarray, bits: int) -> jnp.ndarray:
     steps = (1 << bits) - 1
     q = jnp.round(jnp.clip(x, 0.0, 1.0) * steps) / steps
     return x + jax.lax.stop_gradient(q - x)
+
+
+def resolve_pallas(use_pallas: str) -> Tuple[bool, bool]:
+    """Resolve cfg.use_pallas to (enabled, interpret).
+
+    'auto' enables the fused Pallas kernel on real TPU backends and leaves
+    the XLA path elsewhere; 'on' forces it (interpreted off-TPU, for tests).
+    """
+    if use_pallas == "off":
+        return False, False
+    dd = jax.config.jax_default_device
+    if dd is None:
+        platform = jax.devices()[0].platform
+    elif isinstance(dd, str):
+        platform = dd
+    else:
+        platform = dd.platform
+    on_tpu = platform in ("tpu", "axon")
+    if use_pallas == "on":
+        return True, not on_tpu
+    return on_tpu, False
+
+
+def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
+                  gamma_e: jnp.ndarray, pis: jnp.ndarray, cfg: SmoeConfig,
+                  coords: jnp.ndarray, kernel_mask: jnp.ndarray,
+                  interpret: bool,
+                  sv_add: Optional[jnp.ndarray] = None) -> ForwardOut:
+    """Forward via the fused Pallas gate+expert kernel (training hot path).
+
+    Numerically equivalent to gating() + expert_regression() with the
+    (N, K) intermediates kept in VMEM (see kernels/gate_expert.py).  Does
+    not produce the dense w_e map (eval uses the XLA path for that).
+    Restrictions: no dual-model mask, coords carry no gradient (so not for
+    train_trafo video).
+    """
+    from smoe_tpu.kernels.gate_expert import fused_gate_expert
+
+    if cfg.train_inverse_cov:
+        B = A
+    else:
+        B = jnp.einsum("klm,knm->kln", A, A)
+    q = kernel_quadratics(B, musX)
+
+    mask = kernel_mask & (pis > 0)
+    if cfg.use_determinant:
+        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+        det = jnp.prod(diag_A, axis=-1) / np.sqrt(
+            (2.0 * np.pi) ** cfg.dim_domain)
+        pi_det = jnp.where(mask, pis * det, 0.0)
+    else:
+        pi_det = jnp.where(mask, pis, 0.0)
+
+    k, d, c = gamma_e.shape
+    phi = quadratic_features(coords)
+    if cfg.train_gammas:
+        if cfg.only_y_gamma and cfg.use_yuv:
+            chan_mask = jnp.zeros((c,), gamma_e.dtype).at[0].set(1.0)
+            gamma_e = gamma_e * chan_mask[None, None, :]
+        xe = jnp.concatenate(
+            [coords, jnp.ones((coords.shape[0], 1), coords.dtype)], axis=1)
+        G = jnp.concatenate([gamma_e.reshape(k, d * c), nu_e], axis=1)
+    else:
+        xe = jnp.ones((coords.shape[0], 1), coords.dtype)
+        G = nu_e
+
+    res_raw, surv = fused_gate_expert(
+        phi, xe, q, G, pi_det.astype(jnp.float32),
+        mask.astype(jnp.float32),
+        float(cfg.minimum_influence), float(DENOM_FLOOR),
+        int(coords.shape[0]), bool(interpret))
+    if sv_add is not None:
+        # SV residual on the Y channel, pre-clip (reference smoe.py:850-857)
+        res_raw = res_raw.at[:, 0].add(sv_add)
+    res = jnp.clip(res_raw, 0.0, 1.0)
+    res = fake_quant_unit(res, cfg.precision)
+    return ForwardOut(res=res, w_e=None, survivors=surv > 0, maha=None)
 
 
 def smoe_forward(params: SmoeParams, cfg: SmoeConfig,

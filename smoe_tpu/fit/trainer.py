@@ -31,7 +31,8 @@ from smoe_tpu.config import OptConfig, SmoeConfig
 from smoe_tpu.core import losses as L
 from smoe_tpu.core.init import get_batch_shape, init_params
 from smoe_tpu.core.model import (ForwardOut, fake_quant_unit, gating,
-                                 expert_regression, maha_from_A)
+                                 expert_regression, kernel_quadratics,
+                                 maha_from_A, quadratic_features)
 from smoe_tpu.core.params import SmoeParams, assemble_A
 from smoe_tpu.core.quant import apply_qat
 from smoe_tpu.core.ssim import ssim_loss
@@ -79,10 +80,44 @@ def effective_params(params: SmoeParams, cfg: SmoeConfig,
                      gamma_e=eff.gamma_e, pis=eff.pis, motion=eff.motion)
 
 
+def _sv_residual(coords: jnp.ndarray, sv_rows: jnp.ndarray,
+                 bw_diag: jnp.ndarray, bw_corr: jnp.ndarray,
+                 thr_sv: jnp.ndarray):
+    """Support-vector residual on a block (reference smoe.py:688-709).
+
+    Each pixel owns an RBF with its own steering factor A_SV:
+        k[b, a] = exp(-(x_b - x_a)^T A_a A_a^T (x_b - x_a))
+        res_sv[b] = sum_a k[b, a] * SV_a   (SVs below thr_sv zeroed)
+    Evaluated through the same quadratic-feature matmul as the kernel maha
+    (exp(-1 * m) == exp(-0.5 * m') with B' = 2 A A^T).
+    Returns (res_sv (Nb,), sv_eff (Nb, 1)).
+    """
+    d = coords.shape[1]
+    diag = jnp.diagonal(bw_diag, axis1=1, axis2=2)
+    A_sv = jnp.einsum("ni,ij->nij", diag, jnp.eye(d, dtype=bw_diag.dtype)) \
+        + jnp.tril(bw_corr, k=-1)
+    B_sv = 2.0 * jnp.einsum("nlm,nkm->nlk", A_sv, A_sv)
+    q_sv = kernel_quadratics(B_sv, coords)
+    phi = quadratic_features(coords)
+    maha = jnp.dot(phi, q_sv.T, preferred_element_type=jnp.float32)
+    kmat = jnp.exp(-0.5 * maha)
+    sv_eff = sv_rows * (jnp.abs(sv_rows) >= thr_sv)
+    res_sv = jnp.dot(kmat, sv_eff, preferred_element_type=jnp.float32)[:, 0]
+    return res_sv, sv_eff
+
+
 def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
                  kernel_mask: jnp.ndarray,
-                 model_mask: Optional[jnp.ndarray]) -> ForwardOut:
-    """Forward from the effective view (handles motion + dual model)."""
+                 model_mask: Optional[jnp.ndarray],
+                 fused: Tuple[bool, bool] = (False, False),
+                 sv_add: Optional[jnp.ndarray] = None) -> ForwardOut:
+    """Forward from the effective view (handles motion + dual model).
+
+    fused = (enabled, interpret): route through the Pallas gate+expert
+    kernel when enabled and the config allows (no dual model, no coordinate
+    gradients, i.e. not train_trafo video).
+    sv_add: (Nb,) precomputed SV residual added to the Y channel pre-clip.
+    """
     coords_raw = None
     if eff.motion is not None and cfg.dim_domain == 3:
         coords_t = transform_coords(coords, eff.motion, cfg.num_params_model,
@@ -92,10 +127,18 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         coords_in = coords_t
     else:
         coords_in = coords
+    if (fused[0] and model_mask is None
+            and not (eff.motion is not None and cfg.train_trafo)):
+        from smoe_tpu.core.model import forward_fused
+        return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
+                             eff.pis, cfg, coords_in, kernel_mask,
+                             interpret=fused[1], sv_add=sv_add)
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)
     res = expert_regression(w_e, coords_in, eff.nu_e, eff.gamma_e, cfg)
+    if sv_add is not None:
+        res = res.at[:, 0].add(sv_add)    # Y channel (reference smoe.py:854)
     res = jnp.clip(res, 0.0, 1.0)
     res = fake_quant_unit(res, cfg.precision)
     survivors = jnp.any(w_e > cfg.minimum_influence, axis=0)
@@ -112,13 +155,20 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
                 loss_w: Optional[jnp.ndarray], reg: RegWeights,
                 musX_grid: Optional[jnp.ndarray],
                 model_mask: Optional[jnp.ndarray],
-                block_padded: Tuple[int, ...]):
+                block_padded: Tuple[int, ...],
+                fused: Tuple[bool, bool] = (False, False),
+                sv_blk=None, thr_sv=None):
     """Loss of one block; differentiated w.r.t. raw params (QAT is STE).
 
     Mirrors the loss assembly of reference smoe.py:899-1051.
+    sv_blk: optional (sv_rows, bw_diag, bw_corr) slices for this block.
     """
     eff = effective_params(params, cfg, musX_grid)
-    out = _forward_eff(eff, cfg, coords, kernel_mask, model_mask)
+    sv_add, sv_eff = None, None
+    if sv_blk is not None:
+        sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
+    out = _forward_eff(eff, cfg, coords, kernel_mask, model_mask,
+                       fused=fused, sv_add=sv_add)
 
     if cfg.ssim_opt:
         c = targets.shape[-1]
@@ -146,6 +196,9 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
     loss = loss + L.pis_l1_reg(qp, cfg, active, reg.pis_l1, num_active)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     loss = loss + reg.u_l1 * jnp.sum(jnp.where(active[:, None], diag_A, 0.0))
+    if sv_eff is not None:
+        loss = loss + L.sv_l1_sub_l2_reg(sv_eff, reg.sv_l1_sub_l2,
+                                         int(np.prod(block_padded)))
     return loss, (mse, out.survivors, err_map, num_active)
 
 
@@ -163,6 +216,8 @@ class _Compiled:
         self.opt_cfg = opt_cfg
         self.num_pixel = num_pixel
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
+        from smoe_tpu.core.model import resolve_pallas
+        self.pallas = resolve_pallas(cfg.use_pallas)
         self._train_fns: Dict[Any, Any] = {}
         self.tx_main = self._make_tx(inc=False)
         self.tx_inc = self._make_tx(inc=True)
@@ -234,8 +289,18 @@ class _Compiled:
 
     # ---- sweeps ----
     def train_sweep_fn(self, train_orig: bool, train_inc: bool,
-                       sampling_pct: int, use_loss_mask: bool):
-        key = (train_orig, train_inc, sampling_pct, use_loss_mask)
+                       sampling_pct: int, use_loss_mask: bool,
+                       n_steps: int = 1):
+        """Jitted multi-sweep: `n_steps` full block sweeps (each = one
+        optimizer step) inside ONE XLA program via lax.scan.
+
+        The reference pays a host->device round trip per block per iteration
+        (feed_dict, SURVEY §3.1); running a whole validation interval
+        device-side amortizes dispatch/tunnel latency to once per chunk.
+        Kernel lists are refreshed from the influence-culling survivors
+        between sweeps inside the scan (reference smoe.py:1763-1766).
+        """
+        key = (train_orig, train_inc, sampling_pct, use_loss_mask, n_steps)
         if key in self._train_fns:
             return self._train_fns[key]
 
@@ -245,15 +310,24 @@ class _Compiled:
         row_mask = self._row_masks(cfg.capacity)
         sample_n = int(round(np.prod(bset.block_padded) * sampling_pct / 100.0))
         do_sample = (sampling_pct < 100 and not cfg.ssim_opt
-                     and cfg.overlap == 0)
+                     and cfg.overlap == 0 and not cfg.train_svs)
+        with_sv = cfg.train_svs
+        nb = int(np.prod(bset.block_padded))
 
         def loss_for_block(params, coords, targets, kmask, lw, reg,
-                           musX_grid, model_mask, probs, rng):
+                           musX_grid, model_mask, probs, rng, bidx, thr_sv):
             lw = lw if use_loss_mask else None
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 valid = bset.train_mask if valid is None \
                     else valid & bset.train_mask
+            sv_blk = None
+            if with_sv:
+                off = bidx * nb
+                sv_blk = (
+                    jax.lax.dynamic_slice_in_dim(params.sv, off, nb),
+                    jax.lax.dynamic_slice_in_dim(params.sv_bw_diag, off, nb),
+                    jax.lax.dynamic_slice_in_dim(params.sv_bw_corr, off, nb))
             if do_sample:
                 # error-proportional subsampling without replacement
                 # (Gumbel top-k ~ np.random.choice(p=...), reference
@@ -270,33 +344,35 @@ class _Compiled:
                 valid = None
             return _block_loss(params, cfg, coords, targets, kmask, valid,
                                lw, reg, musX_grid, model_mask,
-                               bset.block_padded)
+                               bset.block_padded, fused=self.pallas,
+                               sv_blk=sv_blk, thr_sv=thr_sv)
 
         grad_fn = jax.value_and_grad(loss_for_block, has_aux=True)
 
-        def sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
-                  musX_grid, model_mask, probs, rng):
+        def one_sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
+                      musX_grid, model_mask, probs, rng, thr_sv):
             B = bset.coords.shape[0]
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
             rngs = jax.random.split(rng, B)
 
             def body(carry, xs):
                 g_acc, loss_acc, mse_acc = carry
-                coords, targets, kmask, lw, p, r = xs
+                coords, targets, kmask, lw, p, r, bidx = xs
                 (loss, (mse, surv, _, num_active)), g = grad_fn(
                     params, coords, targets, kmask, lw, reg,
-                    musX_grid, model_mask, p, r)
+                    musX_grid, model_mask, p, r, bidx, thr_sv)
                 g_acc = jax.tree_util.tree_map(
                     lambda a, b: a + b, g_acc, g)
                 return ((g_acc, loss_acc + bw * loss, mse_acc + bw * mse),
                         (surv, num_active))
 
-            nb = bset.coords.shape[1]
+            nb_pix = bset.coords.shape[1]
             lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
-                else jnp.zeros((B, nb))
+                else jnp.zeros((B, nb_pix))
             (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
                 body, (zero_g, 0.0, 0.0),
-                (bset.coords, bset.targets, klists, lw_xs, probs, rngs))
+                (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
+                 jnp.arange(B)))
 
             new_params = params
             if train_orig:
@@ -315,14 +391,33 @@ class _Compiled:
                 new_params = optax.apply_updates(new_params, updates)
 
             eff_pis = apply_qat(params, cfg).pis
+            num_sv = (jnp.sum(jnp.abs(params.sv) > 5e-3).astype(jnp.int32)
+                      if with_sv else jnp.asarray(0, jnp.int32))
             metrics = SweepMetrics(
                 loss=loss, mse=mse,
                 num_pi=jnp.sum(eff_pis > 0),
-                num_sv=jnp.asarray(0, jnp.int32),
+                num_sv=num_sv,
                 survivors=survivors)
             return new_params, opt_state, inc_opt_state, metrics
 
-        fn = jax.jit(sweep)
+        def multi(params, opt_state, inc_opt_state, klists, loss_w, reg,
+                  musX_grid, model_mask, probs, rng, thr_sv):
+            def body(carry, _):
+                params, opt_state, inc_opt_state, klists, rng = carry
+                rng, sub = jax.random.split(rng)
+                p, o, io, m = one_sweep(params, opt_state, inc_opt_state,
+                                        klists, loss_w, reg, musX_grid,
+                                        model_mask, probs, sub, thr_sv)
+                return ((p, o, io, m.survivors, rng),
+                        (m.loss, m.mse, m.num_pi, m.num_sv))
+
+            carry, ys = jax.lax.scan(
+                body, (params, opt_state, inc_opt_state, klists, rng),
+                None, length=n_steps)
+            params, opt_state, inc_opt_state, klists, _ = carry
+            return params, opt_state, inc_opt_state, klists, ys
+
+        fn = jax.jit(multi)
         self._train_fns[key] = fn
         return fn
 
@@ -332,9 +427,21 @@ class _Compiled:
         cfg = self.cfg
         bset = self.bset
         bw = self.block_weight
+        with_sv = cfg.train_svs
+        nb = int(np.prod(bset.block_padded))
 
-        def eval_block(eff, coords, targets, kmask, lw, reg, model_mask):
-            out = _forward_eff(eff, cfg, coords, kmask, model_mask)
+        def eval_block(eff, svp, coords, targets, kmask, lw, reg,
+                       model_mask, bidx, thr_sv):
+            sv_add = jnp.zeros((coords.shape[0],), jnp.float32)
+            if with_sv and svp is not None:
+                off = bidx * nb
+                sv_blk = (
+                    jax.lax.dynamic_slice_in_dim(svp[0], off, nb),
+                    jax.lax.dynamic_slice_in_dim(svp[1], off, nb),
+                    jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
+                sv_add, _ = _sv_residual(coords, *sv_blk, thr_sv)
+            out = _forward_eff(eff, cfg, coords, kmask, model_mask,
+                               sv_add=sv_add if with_sv else None)
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 valid = bset.train_mask if valid is None \
@@ -363,26 +470,29 @@ class _Compiled:
                 jnp.where(active[:, None], diag_A, 0.0))
             w_argmax = jnp.argmax(out.w_e, axis=1)
             probs = la.err_map / jnp.maximum(jnp.sum(la.err_map), 1e-30)
-            return (loss, la.mse, out.res, w_argmax, out.survivors, probs)
+            return (loss, la.mse, out.res, w_argmax, out.survivors, probs,
+                    sv_add)
 
-        def sweep(eff: EffParams, klists, loss_w, reg, model_mask):
+        def sweep(eff: EffParams, svp, klists, loss_w, reg, model_mask,
+                  thr_sv):
             B = bset.coords.shape[0]
             lw_xs = loss_w if loss_w is not None else jnp.zeros((B, 1))
 
             def body(carry, xs):
                 loss_acc, mse_acc = carry
-                coords, targets, kmask, lw = xs
-                loss, mse, res, w_am, surv, probs = eval_block(
-                    eff, coords, targets, kmask,
-                    lw if loss_w is not None else None, reg, model_mask)
+                coords, targets, kmask, lw, bidx = xs
+                loss, mse, res, w_am, surv, probs, sv_map = eval_block(
+                    eff, svp, coords, targets, kmask,
+                    lw if loss_w is not None else None, reg, model_mask,
+                    bidx, thr_sv)
                 return ((loss_acc + bw * loss, mse_acc + bw * mse),
-                        (res, w_am, surv, probs))
+                        (res, w_am, surv, probs, sv_map))
 
-            (loss, mse), (res, w_am, surv, probs) = jax.lax.scan(
+            (loss, mse), (res, w_am, surv, probs, sv_map) = jax.lax.scan(
                 body, (0.0, 0.0),
-                (bset.coords, bset.targets, klists, lw_xs))
+                (bset.coords, bset.targets, klists, lw_xs, jnp.arange(B)))
             num_pi = jnp.sum(eff.pis > 0)
-            return loss, mse, res, w_am, surv, probs, num_pi
+            return loss, mse, res, w_am, surv, probs, num_pi, sv_map
 
         self._eval_fn = jax.jit(sweep)
         return self._eval_fn
@@ -403,6 +513,8 @@ class Smoe:
                  cfg: Optional[SmoeConfig] = None,
                  opt_cfg: Optional[OptConfig] = None,
                  loss_mask: Optional[np.ndarray] = None,
+                 affines: Optional[np.ndarray] = None,
+                 init_flag: float = 1,
                  **cfg_overrides):
         image = np.asarray(image, np.float32)
         dim = image.ndim - 1
@@ -416,6 +528,35 @@ class Smoe:
             cfg = cfg.replace(use_yuv=False)
         if cfg.dim_domain == 3 and cfg.train_trafo and cfg.num_frames == 0:
             cfg = cfg.replace(num_frames=image.shape[2])
+
+        # motion-compensated video init: warp domain by per-frame affines,
+        # place model-0 kernels by init_flag, concat disabled raw-domain
+        # model-1 kernels (reference smoe.py:280-329, 1895-2138)
+        motion_init = None
+        model_mask_init = None
+        self.num_2d_kernels = None
+        if cfg.dim_domain == 3 and affines is not None \
+                and init_params_dict is None:
+            from smoe_tpu.video.init_strategies import (
+                dual_model_concat, motion_from_affines, video_kernel_init,
+                warp_domain)
+            from smoe_tpu.core.init import (generate_kernel_grid,
+                                            generate_experts, generate_pis)
+            affines = np.asarray(affines, np.float32)
+            cfg = cfg.replace(num_frames=image.shape[2], dual_model=True)
+            warped = warp_domain(image, affines, cfg.num_params_model)
+            m0 = video_kernel_init(image, warped, cfg.kernels_per_dim,
+                                   init_flag)
+            base = cfg.replace(dual_model=False, start_pis_override=0)
+            musX1, A1 = generate_kernel_grid(base)
+            nu1, g1 = generate_experts(image, musX1, base)
+            m1 = {"musX": musX1, "A": A1, "nu_e": nu1, "gamma_e": g1,
+                  "pis": generate_pis(musX1.shape[0], cfg.normalize_pis)}
+            init_params_dict, model_mask_init = dual_model_concat(m0, m1)
+            cfg = cfg.replace(
+                start_pis_override=int(init_params_dict["pis"].shape[0]))
+            motion_init = motion_from_affines(affines, image.shape)
+            self.num_2d_kernels = int(np.sum(init_params_dict["pis"] > 0))
 
         # block shape (reference smoe.py:231-247, 2459-2543)
         if batch_size is not None:
@@ -439,6 +580,13 @@ class Smoe:
             self.params = self.params.replace(
                 musX=jnp.zeros_like(self.params.musX))
         self.model_mask = None   # dual-model kernel->domain assignment
+        if motion_init is not None:
+            self.params = self.params.replace(
+                motion=jnp.asarray(motion_init))
+        if model_mask_init is not None:
+            pad_n = cfg.capacity - model_mask_init.shape[0]
+            self.model_mask = jnp.asarray(np.concatenate(
+                [model_mask_init, np.ones((pad_n,), bool)]))
 
         self.bset = build_blockset(image, cfg, cfg.block_shape)
         self.start_batches = int(self.bset.coords.shape[0])
@@ -475,6 +623,7 @@ class Smoe:
         self.valid = False
         self.qvalid = False
         self.reconstruction_image = None
+        self.reconstruction_sv = None
         self.qreconstruction_image = None
         self.weight_matrix_argmax = None
         self.qweight_matrix_argmax = None
@@ -510,6 +659,34 @@ class Smoe:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def run_batched_chunk(self, n_steps, pis_l1=0.0, u_l1=0.0,
+                          sv_l1_sub_l2=0.0, sampling_percentage=100,
+                          train_orig=True, train_inc=False, thr_sv=None,
+                          use_loss_mask=False):
+        """`n_steps` training sweeps in ONE device program (lax.scan).
+
+        Amortizes host<->device dispatch to once per chunk — the TPU-native
+        replacement for the reference's per-block feed_dict round trips.
+        Returns per-step numpy arrays (loss, mse, num_pi, num_sv).
+        """
+        if self.opt_state is None:
+            self.set_optimizer()
+        reg = RegWeights(jnp.float32(pis_l1), jnp.float32(u_l1),
+                         jnp.float32(sv_l1_sub_l2))
+        lw = self.loss_mask if use_loss_mask else None
+        fn = self._compiled.train_sweep_fn(
+            bool(train_orig), bool(train_inc), int(sampling_percentage),
+            use_loss_mask and lw is not None, int(n_steps))
+        # reference trains with threshold 0 (smoe.py:1552, default :707)
+        tsv = jnp.float32(0.0 if thr_sv is None else thr_sv)
+        (self.params, self.opt_state, self.inc_opt_state, self.kernel_lists,
+         ys) = fn(self.params, self.opt_state, self.inc_opt_state,
+                  self.kernel_lists, lw, reg, self.musX_grid,
+                  self.model_mask, self.sampling_probs, self._next_rng(),
+                  tsv)
+        self.valid = False
+        return tuple(np.asarray(y) for y in ys)
+
     def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
                     update_reconstruction=False, with_quantized_params=False,
                     sampling_percentage=100, with_inc=False, train_inc=False,
@@ -523,35 +700,37 @@ class Smoe:
         lw = self.loss_mask if use_loss_mask else None
 
         if (train or train_inc) and not with_quantized_params:
-            if self.opt_state is None:
-                self.set_optimizer()
-            fn = self._compiled.train_sweep_fn(
-                bool(train), bool(train_inc), int(sampling_percentage),
-                use_loss_mask and lw is not None)
-            (self.params, self.opt_state, self.inc_opt_state,
-             metrics) = fn(self.params, self.opt_state, self.inc_opt_state,
-                           self.kernel_lists, lw, reg, self.musX_grid,
-                           self.model_mask, self.sampling_probs,
-                           self._next_rng())
-            self._update_kernel_lists_from(metrics.survivors)
-            self.valid = False
-            return (float(metrics.loss), float(metrics.mse),
-                    int(metrics.num_pi), int(metrics.num_sv))
+            loss, mse, npi, nsv = self.run_batched_chunk(
+                1, pis_l1, u_l1, sv_l1_sub_l2, sampling_percentage,
+                train_orig=train, train_inc=train_inc, thr_sv=thr_sv,
+                use_loss_mask=use_loss_mask)
+            return float(loss[-1]), float(mse[-1]), int(npi[-1]), int(nsv[-1])
 
-        # evaluation path
+        # evaluation path; SVs evaluated at the reporting threshold 5e-3
+        # (reference smoe.py:1536, 1558)
+        tsv = jnp.float32(5e-3 if thr_sv is None else thr_sv)
+        svp = None
+        if self.cfg.train_svs and self.params.sv is not None:
+            svp = (self.params.sv, self.params.sv_bw_diag,
+                   self.params.sv_bw_corr)
         if with_quantized_params:
             eff = self._eff_from_rparams()
         else:
             eff = effective_params(self.params, self.cfg, self.musX_grid)
         fn = self._compiled.eval_sweep_fn()
-        loss, mse, res, w_am, surv, probs, num_pi = fn(
-            eff, self.kernel_lists, lw, reg, self.model_mask)
+        loss, mse, res, w_am, surv, probs, num_pi, sv_map = fn(
+            eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
+        num_sv = int(np.sum(np.abs(np.asarray(self.params.sv)) > 5e-3)) \
+            if svp is not None else 0
 
         if update_reconstruction:
             rec = np.asarray(stitch_blocks(res, self.bset))
             wam = np.asarray(stitch_blocks(w_am[..., None],
                                            self.bset))[..., 0]
             self.sampling_probs = probs
+            if svp is not None:
+                self.reconstruction_sv = np.asarray(
+                    stitch_blocks(sv_map[..., None], self.bset))[..., 0]
             if with_quantized_params:
                 self.qreconstruction_image = rec
                 self.qweight_matrix_argmax = wam
@@ -562,7 +741,7 @@ class Smoe:
                 self.valid = True
         if not with_quantized_params:
             self._update_kernel_lists_from(surv)
-        return float(loss), float(mse), int(num_pi), 0
+        return float(loss), float(mse), int(num_pi), num_sv
 
     def _update_kernel_lists_from(self, survivors):
         """Per-block kernel lists <- influence-culling survivors
@@ -653,17 +832,31 @@ class Smoe:
 
         first_loss = self.losses[0][1] if self.losses else loss_val
         i = 0
-        for i in range(1, num_iter + 1):
-            self.iter += 1
+        while i < num_iter:
+            # run whole validation / kernel-list intervals as ONE device
+            # program (run_batched_chunk) — same iteration semantics as the
+            # reference's per-iter loop, minus the dispatch latency.
+            boundary = min(((i // val_iter) + 1) * val_iter,
+                           ((i // ukl_iter) + 1) * ukl_iter, num_iter)
+            chunk = boundary - i
             try:
+                loss_a, mse_a, npi_a, nsv_a = self.run_batched_chunk(
+                    chunk, pis_l1, u_l1, sv_l1_sub_l2, sampling_percentage,
+                    train_orig=train_orig, train_inc=train_inc,
+                    use_loss_mask=use_loss_mask)
+                i = boundary
+                self.iter += chunk
+                loss_val, mse_val = float(loss_a[-1]), float(mse_a[-1])
+                num_pi, num_sv = int(npi_a[-1]), int(nsv_a[-1])
                 validate = i % val_iter == 0
                 do_ukl = i % ukl_iter == 0
 
-                loss_val, mse_val, num_pi, num_sv = self.run_batched(
-                    pis_l1, u_l1, sv_l1_sub_l2, train=train_orig,
-                    sampling_percentage=sampling_percentage,
-                    with_inc=with_inc, train_inc=train_inc,
-                    use_loss_mask=use_loss_mask)
+                # divergence guard over every step of the chunk
+                # (reference smoe.py:1565-1570)
+                if np.any(np.isnan(loss_a)) or np.any(
+                        loss_a + 1 > (first_loss + 100) * 10):
+                    print("stop: divergence guard")
+                    break
 
                 if do_ukl:
                     self.update_kernel_list()
@@ -692,9 +885,7 @@ class Smoe:
                         update_reconstruction=True,
                         use_loss_mask=use_loss_mask)
 
-                # divergence guard (reference smoe.py:1565-1570)
-                if np.isnan(loss_val) or (
-                        loss_val + 1 > (first_loss + 100) * 10):
+                if np.isnan(loss_val):
                     print("stop: divergence guard")
                     break
 
@@ -850,6 +1041,70 @@ class Smoe:
         self.params = self.params.replace(pis=pis / jnp.maximum(s, 1e-30))
 
     # ---------------- incremental kernels ----------------
+
+    def reinit_nu_from_argmax(self, rows: Optional[np.ndarray] = None):
+        """nu_k <- mean image value over kernel k's argmax-gating region,
+        0.5 where a kernel never wins (reference smoe.py:320-329,
+        smoe_test.py:195-200).  `rows`: restrict the update to these rows."""
+        c = self.image.shape[-1]
+        cap = self.params.capacity
+        w = np.asarray(self.get_weight_matrix_argmax()).reshape(-1)
+        w = w.astype(np.int64)
+        imgf = self.image.reshape(-1, c).astype(np.float64)
+        sums = np.zeros((cap, c))
+        np.add.at(sums, w, imgf)
+        counts = np.bincount(w, minlength=cap).astype(np.float64)
+        means = np.divide(sums, counts[:, None],
+                          out=np.full((cap, c), 0.5), where=counts[:, None] > 0)
+        nu = np.asarray(self.params.nu_e).copy()
+        if rows is None:
+            nu[:] = means
+        else:
+            nu[rows] = means[rows]
+        self.params = self.params.replace(
+            nu_e=jnp.asarray(nu.astype(np.float32)))
+        self.valid = False
+
+    def reseed_time_slab(self, kk: int, rng=None):
+        """Activate the kk-th time slab of spare (disabled) kernels at
+        error-proportional random pixel positions and re-init their experts
+        from the gating argmax (the video driver loop of reference
+        smoe_test.py:123-207).  Returns the activated row indices."""
+        cfg = self.cfg
+        assert cfg.dim_domain == 3, "time-slab reseeding is a video feature"
+        rng = np.random.default_rng(rng)
+        kpd = cfg.kernels_per_dim
+        k2d = int(np.prod(kpd[:2]))
+        shape = self.image.shape[:3]
+
+        rec = self.get_reconstruction().reshape(self.image.shape)
+        wts = [6 / 8, 1 / 8, 1 / 8] \
+            if (cfg.use_yuv and self.image.shape[-1] == 3) else None
+        diff = np.average(np.square(255.0 * (self.image - rec)), axis=-1,
+                          weights=wts) ** 2
+        p = diff.reshape(-1) / diff.sum()
+        idx = rng.choice(p.size, p=p, size=k2d, replace=False)
+        pos = np.unravel_index(idx, shape)
+        mus3 = np.stack([pos[i] / max(shape[i] - 1, 1) for i in range(3)],
+                        axis=1).astype(np.float32)
+
+        pis = np.asarray(self.params.pis).copy()
+        if self.num_2d_kernels is None or kk == 0:
+            self.num_2d_kernels = int(np.sum(pis != 0))
+        lo = self.num_2d_kernels + kk * k2d
+        hi = min(lo + k2d, cfg.start_pis)
+        if hi <= lo:
+            raise ValueError("no spare kernel slots left for reseeding")
+        rows = np.arange(lo, hi)
+        musX = np.asarray(self.params.musX).copy()
+        pis[rows] = 1.0
+        musX[rows] = mus3[:rows.size]
+        self.params = self.params.replace(pis=jnp.asarray(pis),
+                                          musX=jnp.asarray(musX))
+        self.update_kernel_list()
+        self.valid = False
+        self.reinit_nu_from_argmax(rows=rows)
+        return rows
 
     def reinit_inc(self, plot_dir=None, threshold_rel=0.2):
         from smoe_tpu.fit.incremental import reinit_inc as _reinit

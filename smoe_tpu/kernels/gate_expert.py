@@ -1,0 +1,379 @@
+"""Fused SMoE gate+expert Pallas TPU kernel.
+
+This is the hot op of the whole framework (SURVEY.md §3.5): for every
+(pixel, kernel) pair the reference evaluates
+
+    maha -> exp(-0.5 maha) -> pi-weighted softmax gating -> influence cull
+         -> affine expert mix                      (reference smoe.py:791-848)
+
+as separate TF graph ops, which on TPU under XLA materializes several
+(N, K) float32 intermediates in HBM per training step (maha, exp, weights,
+culled weights) — for a 512x512 fit with K=144 that is ~150 MB of HBM
+traffic per intermediate per direction.  This kernel fuses the entire chain
+into ONE pass over pixel tiles with everything kept in VMEM:
+
+    inputs   phiT (F, N)  quadratic features  phi(x) = [vec(x x^T), x, 1]
+             xeT  (E, N)  expert features     xe(x)  = [x, 1]
+             q    (K, F)  kernel quadratics   (see core/model.py docstring)
+             G    (K, E*C) expert affine      G_k = [gamma_k; nu_k]
+             pi_det (K,)  pi_k * det-normalizer, 0 for dead kernels
+             mask (K,)    kernel liveness (kernel list & pis > 0)
+    outputs  res  (N, C)  gated expert mix (pre clip/fake-quant)
+             surv (K,)    influence-culling survivor flags
+
+per pixel tile (TN pixels):
+    maha  = phi @ q^T                          one (TN,F)x(F,K) MXU matmul
+    n_w   = exp(-0.5 * maha * mask) * pi_det   VPU
+    w     = n_w / max(floor, sum_k n_w)        VPU (denominator reduce)
+    w     = w * (w > thr)                      influence cull (smoe.py:825)
+    wg    = w @ G                              one (TN,K)x(K,E*C) MXU matmul
+    res   = sum_j xe[:, j] * wg[:, j*C:(j+1)*C]
+
+The backward pass is a second Pallas kernel that recomputes the (TN, K)
+tiles (flash-attention style: recompute beats storing (N, K) residuals) and
+accumulates dq, dG, dpi_det across pixel tiles.  phi/xe are treated as
+constants (coords carry no gradient; the motion-compensated video path where
+they would falls back to the XLA forward).
+
+Gradient semantics match the XLA path exactly: the cull mask (w > thr) and
+the denominator floor are straight-through constants (TF treats the cast
+compare and the max-with-constant the same way).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_n(k_pad: int) -> int:
+    """Pixel-tile size: keep the (TN, K) working set ~<= 2 MB so several
+    live f32 intermediates fit in ~16 MB VMEM."""
+    tn = (2 * 1024 * 1024) // (4 * k_pad)
+    tn = max(128, min(1024, tn))
+    return _round_up(tn, 128)
+
+
+def _pad_axis(x, axis: int, to: int):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, to - x.shape[axis])
+    return jnp.pad(x, pad) if pad[axis][1] else x
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
+                res_ref, surv_ref, *, e_dim: int, c_dim: int, n_actual: int,
+                tile_n: int, thr: float, floor: float):
+    i = pl.program_id(0)
+
+    phiT = phiT_ref[:]                        # (F, TN)
+    qT = qT_ref[:]                            # (F, K)
+    mask = mask_ref[:]                        # (1, K)
+    pi_det = pi_det_ref[:]                    # (1, K)
+
+    # maha[n, k] = sum_f phi[f, n] q[f, k]
+    maha = jax.lax.dot_general(
+        phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (TN, K)
+    # mask inside the exp: dead kernels must not produce inf (smoe.py:738)
+    n_w = jnp.exp(-0.5 * (maha * mask)) * pi_det
+    denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
+    w = n_w / denom
+    w = jnp.where(w > thr, w, 0.0)            # influence cull (smoe.py:825)
+
+    # survivor flags: OR over this tile's valid rows, accumulated over tiles
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * tile_n
+    w_valid = jnp.where(row < n_actual, w, 0.0)
+    tile_surv = jnp.max(w_valid, axis=0, keepdims=True)   # (1, K)
+
+    @pl.when(i == 0)
+    def _():
+        surv_ref[:] = tile_surv
+
+    @pl.when(i > 0)
+    def _():
+        surv_ref[:] = jnp.maximum(surv_ref[:], tile_surv)
+
+    # expert mix: res[n, c] = sum_j xe[j, n] * (w @ G)[n, j*C + c]
+    wg = jnp.dot(w, G_ref[:], preferred_element_type=jnp.float32)  # (TN, E*C)
+    xeT = xeT_ref[:]                          # (E, TN)
+    res = jnp.zeros((w.shape[0], c_dim), jnp.float32)
+    for j in range(e_dim):
+        res = res + xeT[j, :][:, None] * wg[:, j * c_dim:(j + 1) * c_dim]
+    res_ref[:] = res
+
+
+def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
+              n_actual, interpret):
+    f_pad, n_pad = phiT.shape
+    e_pad = xeT.shape[0]
+    k_pad = q.shape[0]
+    ec = G.shape[1]
+    e_dim = ec // c_dim
+    tn = _tile_n(k_pad)
+    n_tiles = n_pad // tn
+
+    kern = functools.partial(
+        _fwd_kernel, e_dim=e_dim, c_dim=c_dim, n_actual=n_actual,
+        tile_n=tn, thr=thr, floor=floor)
+    res, surv = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((f_pad, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_pad, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, ec), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :])
+    return res, surv
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
+                g_ref, dq_ref, dG_ref, dpi_ref, *, e_dim: int, c_dim: int,
+                thr: float, floor: float):
+    i = pl.program_id(0)
+
+    phiT = phiT_ref[:]
+    qT = qT_ref[:]
+    mask = mask_ref[:]
+    pi_det = pi_det_ref[:]
+    G = G_ref[:]
+    g = g_ref[:]                              # (TN, C) cotangent of res
+
+    # --- recompute forward tile ---
+    maha = jax.lax.dot_general(
+        phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    e_term = jnp.exp(-0.5 * (maha * mask))    # (TN, K)
+    n_w = e_term * pi_det
+    raw = jnp.sum(n_w, axis=1, keepdims=True)
+    denom = jnp.maximum(floor, raw)
+    w_tilde = n_w / denom
+    cull = (w_tilde > thr).astype(jnp.float32)
+    w = w_tilde * cull
+
+    # --- backward ---
+    # dwg[n, j*C+c] = xe[j, n] * g[n, c]
+    xeT = xeT_ref[:]
+    dwg_cols = []
+    for j in range(e_dim):
+        dwg_cols.append(xeT[j, :][:, None] * g)
+    dwg = jnp.concatenate(dwg_cols, axis=1)   # (TN, E*C)
+
+    # dG += w^T @ dwg
+    dG_tile = jax.lax.dot_general(
+        w, dwg, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (K, E*C)
+
+    # dw = dwg @ G^T ; through the cull mask (straight-through)
+    dw = jax.lax.dot_general(
+        dwg, G, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (TN, K)
+    dwt = dw * cull
+
+    # through the normalization: w_tilde = n_w / max(floor, sum n_w)
+    s = jnp.sum(dwt * w_tilde, axis=1, keepdims=True)      # (TN, 1)
+    live = (raw > floor).astype(jnp.float32)
+    dn_w = (dwt - s * live) / denom                         # (TN, K)
+
+    # dpi_det += sum_n dn_w * e_term ; dmaha = -0.5 * dn_w * n_w
+    dpi_tile = jnp.sum(dn_w * e_term, axis=0, keepdims=True)   # (1, K)
+    dmaha = -0.5 * dn_w * n_w * mask                           # (TN, K)
+
+    # dq += dmaha^T @ phi   ((K, TN) x (TN, F))
+    dq_tile = jax.lax.dot_general(
+        dmaha, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (K, F)
+
+    @pl.when(i == 0)
+    def _():
+        dq_ref[:] = dq_tile
+        dG_ref[:] = dG_tile
+        dpi_ref[:] = dpi_tile
+
+    @pl.when(i > 0)
+    def _():
+        dq_ref[:] = dq_ref[:] + dq_tile
+        dG_ref[:] = dG_ref[:] + dG_tile
+        dpi_ref[:] = dpi_ref[:] + dpi_tile
+
+
+def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
+              interpret):
+    f_pad, n_pad = phiT.shape
+    e_pad = xeT.shape[0]
+    k_pad = q.shape[0]
+    ec = G.shape[1]
+    e_dim = ec // c_dim
+    tn = _tile_n(k_pad)
+    n_tiles = n_pad // tn
+
+    kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,
+                             thr=thr, floor=floor)
+    dq, dG, dpi = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((f_pad, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_pad, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, ec), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_pad, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, ec), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, ec), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :], g)
+    return dq, dG, dpi[0]
+
+
+# ---------------------------------------------------------------------------
+# public custom-vjp op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_gate_expert(phi, xe, q, G, pi_det, mask,
+                      thr: float, floor: float, n_actual: int,
+                      interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused gate+expert forward.
+
+    phi (N, F) quadratic features; xe (N, E) expert features; q (K, F)
+    kernel quadratics; G (K, E*C) affine experts; pi_det (K,) pi*det
+    (zeroed for dead kernels); mask (K,) float32 1/0 liveness.
+    Returns (res (N, C) pre-clip, surv (K,) max gating weight per kernel).
+    Gradients flow to q, G, pi_det only (phi/xe treated as constants).
+    """
+    res, surv = _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor,
+                                n_actual, interpret)
+    return res, surv
+
+
+def _prep(phi, xe, q, G, pi_det, mask):
+    n, f = phi.shape
+    e = xe.shape[1]
+    k = q.shape[0]
+    f_pad = _round_up(f, 8)
+    e_pad = _round_up(e, 8)
+    k_pad = _round_up(k, 128)
+    tn = _tile_n(k_pad)
+    n_pad = _round_up(n, tn)
+    phiT = _pad_axis(_pad_axis(phi.T, 0, f_pad), 1, n_pad)
+    xeT = _pad_axis(_pad_axis(xe.T, 0, e_pad), 1, n_pad)
+    q_p = _pad_axis(_pad_axis(q, 0, k_pad), 1, f_pad)
+    G_p = _pad_axis(G, 0, k_pad)
+    pi_p = _pad_axis(pi_det, 0, k_pad)
+    m_p = _pad_axis(mask, 0, k_pad)
+    return phiT, xeT, q_p, G_p, pi_p, m_p
+
+
+def _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
+                    interpret):
+    n, _ = phi.shape
+    k = q.shape[0]
+    c_dim = G.shape[1] // xe.shape[1]
+    phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
+    res, surv = _fwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, thr=thr,
+                          floor=floor, c_dim=c_dim, n_actual=n_actual,
+                          interpret=interpret)
+    return res[:n], surv[0, :k]
+
+
+def _fused_fwd(phi, xe, q, G, pi_det, mask, thr, floor, n_actual, interpret):
+    out = _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor,
+                          n_actual, interpret)
+    return out, (phi, xe, q, G, pi_det, mask)
+
+
+def _fused_bwd(thr, floor, n_actual, interpret, residuals, cts):
+    phi, xe, q, G, pi_det, mask = residuals
+    g_res, _ = cts                       # surv carries no gradient
+    n, f = phi.shape
+    k = q.shape[0]
+    ec = G.shape[1]
+    c_dim = ec // xe.shape[1]
+    phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
+    g_pad = _pad_axis(g_res.astype(jnp.float32), 0, phiT.shape[1])
+    dq, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
+                            thr=thr, floor=floor, c_dim=c_dim,
+                            interpret=interpret)
+    return (jnp.zeros_like(phi), jnp.zeros_like(xe),
+            dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask))
+
+
+fused_gate_expert.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp reference (tests + non-TPU sanity)
+# ---------------------------------------------------------------------------
+
+def gate_expert_reference(phi, xe, q, G, pi_det, mask, thr, floor):
+    """Bit-level reference of the fused op in plain jnp (same op order)."""
+    maha = phi @ q.T
+    n_w = jnp.exp(-0.5 * (maha * mask[None, :])) * pi_det[None, :]
+    denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
+    w = n_w / denom
+    w = jnp.where(w > thr, w, 0.0)
+    wg = w @ G
+    c_dim = G.shape[1] // xe.shape[1]
+    res = sum(xe[:, j:j + 1] * wg[:, j * c_dim:(j + 1) * c_dim]
+              for j in range(xe.shape[1]))
+    surv = jnp.max(w, axis=0)
+    return res, surv

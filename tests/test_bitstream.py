@@ -1,0 +1,76 @@
+"""Entropy-coded bitstream: C++/Python bit-exactness, round trips, and the
+real-rate-vs-proxy relationship."""
+
+import numpy as np
+import pytest
+
+from smoe_tpu.codec import bitstream as bs
+from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
+from smoe_tpu.config import SmoeConfig
+
+
+def _symbols(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    nbits = rng.integers(1, 21, n).astype(np.uint8)
+    group = rng.integers(0, 5, n).astype(np.uint8)
+    # biased values (mostly small) so the coder can compress
+    vals = np.minimum(
+        rng.geometric(0.3, n) - 1,
+        (1 << nbits.astype(np.uint32)) - 1).astype(np.uint32)
+    return vals, nbits, group
+
+
+def test_python_roundtrip():
+    vals, nbits, group = _symbols()
+    data = bs._py_encode(vals, nbits, group)
+    out = bs._py_decode(data, nbits, group)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_native_matches_python():
+    lib = bs.load_native()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    vals, nbits, group = _symbols(seed=3)
+    py = bs._py_encode(vals, nbits, group)
+    nat = bs.encode_symbols(vals, nbits, group)
+    assert nat == py, "C++ and Python encoders must be bit-exact"
+    out = bs.decode_symbols(nat, nbits, group)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_biased_stream_compresses_below_raw():
+    vals, nbits, group = _symbols(n=4000, seed=7)
+    data = bs.encode_symbols(vals, nbits, group)
+    raw_bits = int(np.sum(nbits))
+    assert len(data) * 8 < raw_bits
+
+
+def test_container_roundtrip(tmp_path, toy_rgb):
+    from smoe_tpu.fit.trainer import Smoe
+
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+    s.set_optimizer()
+    for _ in range(10):
+        s.run_batched(train=True)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "model.smoe")
+    nbits_payload = bs.write_bitstream(path, q, s.cfg)
+    q2, header = bs.read_bitstream(path)
+
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q[name]).round(), np.asarray(q2[name]),
+            err_msg=f"{name} mismatch after bitstream roundtrip")
+    np.testing.assert_array_equal(q["used_kernels"], q2["used_kernels"])
+
+    # dequantized params identical -> decode is bit-exact through the file
+    r1 = rescaler(q, s.cfg)
+    r2 = rescaler(q2, s.cfg)
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], rtol=0, atol=1e-12)
+
+    # tiny 16-kernel stream: adaptive-coder warmup dominates, so only bound
+    # the overhead; at production K the payload lands at/below the proxy
+    # (test_biased_stream_compresses_below_raw covers the win)
+    assert nbits_payload < rate_bits(q, s.cfg) * 1.5 + 512

@@ -1,0 +1,140 @@
+"""Fused Pallas gate+expert kernel: parity with the XLA forward path.
+
+Run in interpreter mode on the CPU test backend; the same code path
+(padding, tiling, custom VJP) executes compiled on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core.init import gen_domain, init_params
+from smoe_tpu.core.model import (forward_fused, smoe_forward,
+                                 kernel_quadratics, quadratic_features)
+from smoe_tpu.core.params import assemble_A
+from smoe_tpu.kernels.gate_expert import (fused_gate_expert,
+                                          gate_expert_reference)
+
+
+def _setup(d=2, c=3, k=(4, 4), n=57, seed=0, **cfg_kw):
+    rng = np.random.default_rng(seed)
+    shape = (12,) * d + (c,)
+    img = rng.uniform(0.1, 0.9, shape).astype(np.float32)
+    cfg = SmoeConfig(dim_domain=d, num_channels=c, kernels_per_dim=k,
+                     use_yuv=(c == 3), **cfg_kw)
+    params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
+    # perturb so gammas and correlations are non-trivial
+    params = params.replace(
+        gamma_e=jnp.asarray(rng.normal(0, 0.3, params.gamma_e.shape),
+                            jnp.float32),
+        a_corr=jnp.asarray(rng.normal(0, 1.0, params.a_corr.shape),
+                           jnp.float32),
+        nu_e=params.nu_e + jnp.asarray(
+            rng.normal(0, 0.05, params.nu_e.shape), jnp.float32))
+    coords = jnp.asarray(rng.uniform(0, 1, (n, d)), jnp.float32)
+    return cfg, params, coords
+
+
+@pytest.mark.parametrize("det", [True, False])
+@pytest.mark.parametrize("gammas", [True, False])
+def test_fused_matches_xla_forward(det, gammas):
+    cfg, params, coords = _setup(use_determinant=det, train_gammas=gammas)
+    kmask = jnp.ones((params.capacity,), bool)
+
+    out_xla = smoe_forward(params, cfg, coords, kmask)
+    A = assemble_A(params, cfg)
+    out_f = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
+                          params.pis, cfg, coords, kmask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f.res),
+                               np.asarray(out_xla.res),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_f.survivors),
+                                  np.asarray(out_xla.survivors))
+
+
+def test_fused_respects_kernel_mask_and_dead_pis():
+    cfg, params, coords = _setup(seed=3)
+    kmask = np.ones((params.capacity,), bool)
+    kmask[::3] = False
+    pis = np.asarray(params.pis).copy()
+    pis[1] = 0.0
+    params = params.replace(pis=jnp.asarray(pis))
+    kmask = jnp.asarray(kmask)
+
+    out_xla = smoe_forward(params, cfg, coords, kmask)
+    A = assemble_A(params, cfg)
+    out_f = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
+                          params.pis, cfg, coords, kmask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f.res),
+                               np.asarray(out_xla.res),
+                               rtol=1e-5, atol=1e-6)
+    dead = ~np.asarray(kmask) | (pis <= 0)
+    assert not np.any(np.asarray(out_f.survivors)[dead])
+
+
+def test_fused_gradients_match_xla():
+    cfg, params, coords = _setup(seed=5)
+    kmask = jnp.ones((params.capacity,), bool)
+    tgt = jnp.asarray(
+        np.random.default_rng(9).uniform(0, 1, (coords.shape[0],
+                                                cfg.num_channels)),
+        jnp.float32)
+
+    def loss_xla(p):
+        out = smoe_forward(p, cfg, coords, kmask)
+        return jnp.sum(jnp.square(out.res - tgt))
+
+    def loss_fused(p):
+        A = assemble_A(p, cfg)
+        out = forward_fused(A, p.musX, p.nu_e, p.gamma_e, p.pis, cfg,
+                            coords, kmask, interpret=True)
+        return jnp.sum(jnp.square(out.res - tgt))
+
+    g_x = jax.grad(loss_xla)(params)
+    g_f = jax.grad(loss_fused)(params)
+    for name in ("musX", "a_diag", "a_corr", "pis", "nu_e", "gamma_e"):
+        gx = np.asarray(getattr(g_x, name))
+        gf = np.asarray(getattr(g_f, name))
+        np.testing.assert_allclose(gf, gx, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_pallas_interpret_matches_reference_op():
+    rng = np.random.default_rng(11)
+    n, f, k, e, c = 70, 7, 9, 3, 3
+    phi = jnp.asarray(rng.normal(0, 1, (n, f)), jnp.float32)
+    xe = jnp.asarray(rng.normal(0, 1, (n, e)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 1, (k, f)), jnp.float32)
+    G = jnp.asarray(rng.normal(0, 1, (k, e * c)), jnp.float32)
+    pi_det = jnp.asarray(rng.uniform(0, 0.5, (k,)), jnp.float32)
+    mask = jnp.ones((k,), jnp.float32)
+
+    res_p, surv_p = fused_gate_expert(phi, xe, q, G, pi_det, mask,
+                                      1e-3, 1e-11, n, True)
+    res_r, surv_r = gate_expert_reference(phi, xe, q, G, pi_det, mask,
+                                          1e-3, 1e-11)
+    np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(surv_p), np.asarray(surv_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_in_training_sweep():
+    """End-to-end: a few fused-path training steps reduce the loss and stay
+    finite (use_pallas='on' -> interpret mode on CPU)."""
+    from smoe_tpu.fit.trainer import Smoe
+
+    rng = np.random.default_rng(2)
+    y, x = np.mgrid[0:16, 0:16] / 15.0
+    img = np.stack([0.5 + 0.3 * np.sin(4 * x),
+                    0.5 + 0.2 * np.cos(3 * y),
+                    0.5 * np.ones_like(x)], -1).astype(np.float32)
+    s = Smoe(img, kernels_per_dim=[3], use_pallas="on")
+    s.set_optimizer()
+    l0, m0, *_ = s.run_batched(train=False)
+    for _ in range(10):
+        loss, mse, npi, _ = s.run_batched(train=True)
+    assert np.isfinite(loss)
+    assert mse < m0
