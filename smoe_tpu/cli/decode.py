@@ -29,7 +29,21 @@ def main(args=None):
     from smoe_tpu.io.images import read_image, write_image
 
     with open(a.params_file, "rb") as fd:
-        cp = pickle.load(fd)
+        head = fd.read(4)
+    if head == b"SMOE":
+        # entropy-coded bitstream (codec/bitstream.py)
+        from smoe_tpu.codec.bitstream import read_bitstream
+        qp, header = read_bitstream(a.params_file)
+        cp = {**qp,
+              "shape_of_img": header["shape_of_img"],
+              "dim_of_output": header["dim_of_output"],
+              "use_yuv": header.get("use_yuv", True),
+              "use_determinant": header.get("use_determinant", True),
+              "use_diff_center": header.get("use_diff_center", False),
+              "radial_as": header.get("radial_as", False)}
+    else:
+        with open(a.params_file, "rb") as fd:
+            cp = pickle.load(fd)
 
     img_shape = tuple(int(v) for v in np.ravel(cp["shape_of_img"]))
     c = int(np.ravel(cp.get("dim_of_output", [3]))[0])

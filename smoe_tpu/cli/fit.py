@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("-if", "--init_flag", type=float, default=1)
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the fit into DIR")
     return p
 
 
@@ -171,12 +173,17 @@ def main(args=None):
     ]
 
     if args.iterations:
-        smoe.train(args.iterations, val_iter=args.validation_iterations,
-                   ukl_iter=args.update_kernel_list_iterations,
-                   pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
-                   sampling_percentage=args.sampling_percentage,
-                   use_loss_mask=loss_mask is not None,
-                   callbacks=callbacks)
+        import contextlib
+        from smoe_tpu.diag.profile import trace
+        prof = trace(args.profile_dir) if args.profile_dir \
+            else contextlib.nullcontext()
+        with prof:
+            smoe.train(args.iterations, val_iter=args.validation_iterations,
+                       ukl_iter=args.update_kernel_list_iterations,
+                       pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                       sampling_percentage=args.sampling_percentage,
+                       use_loss_mask=loss_mask is not None,
+                       callbacks=callbacks)
 
         # video: per-time-slab kernel reseeding + retrain
         # (reference smoe_test.py:123-207; pis LR x10 for the refits)

@@ -61,6 +61,21 @@ def main(args=None):
                          "dim_of_output": orig.shape[-1],
                          "used_determinants": smoe.cfg.use_determinant},
                         fd)
+        # real entropy-coded bitstream + rate (vs the raw-bits proxy)
+        from smoe_tpu.codec.bitstream import write_bitstream
+        from smoe_tpu.codec.quantize import rate_bits
+        bits = write_bitstream(
+            os.path.join(a.results_path, "model.smoe"), smoe.qparams,
+            smoe.cfg,
+            extra={"shape_of_img": list(orig.shape[:-1]),
+                   "dim_of_output": orig.shape[-1],
+                   "use_yuv": smoe.cfg.use_yuv,
+                   "use_determinant": smoe.cfg.use_determinant,
+                   "train_gammas": smoe.cfg.train_gammas})
+        n_pix = int(np.prod(orig.shape[:-1]))
+        print(f"rate: {bits} bits coded "
+              f"({rate_bits(smoe.qparams, smoe.cfg)} raw proxy), "
+              f"bpp {bits / n_pix:.4f}")
     else:
         loss, mse, *_ = smoe.run_batched(train=False,
                                          update_reconstruction=True)

@@ -292,9 +292,12 @@ def _symbol_stream(qparams: Dict, bit_depths) -> Tuple[np.ndarray, ...]:
             np.concatenate(group))
 
 
-def write_bitstream(path: str, qparams: Dict, cfg) -> int:
+def write_bitstream(path: str, qparams: Dict, cfg,
+                    extra: Optional[Dict] = None) -> int:
     """Serialize quantized params as an entropy-coded file.
 
+    extra: JSON-serializable fields merged into the header (image shape,
+    flags) so the decode CLI needs nothing else.
     Returns the payload size in bits (the real rate; compare against
     codec.quantize.rate_bits' raw proxy).
     """
@@ -324,6 +327,8 @@ def write_bitstream(path: str, qparams: Dict, cfg) -> int:
             np.asarray(qparams["used_kernels"], bool)).tolist(),
         "num_slots": int(np.asarray(qparams["used_kernels"]).size),
     }
+    if extra:
+        header.update(extra)
     vals, nbits, group = _symbol_stream(qparams, bd)
     payload = encode_symbols(vals, nbits, group)
     hjson = json.dumps(header).encode("utf-8")

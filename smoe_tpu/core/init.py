@@ -133,8 +133,16 @@ def init_params(image: np.ndarray, cfg: SmoeConfig,
         a_diag = pad(A[:, 0, 0] if A.ndim == 3 else A, cap)
         a_corr = np.zeros((cap, d, d), np.float32)
     else:
-        a_diag = pad(A, cap)
-        a_corr = np.zeros((cap, d, d), np.float32)
+        # split the (possibly merged diag+corr) steering factor into its
+        # diagonal and strict-lower parts.  The reference re-initializes
+        # A_corr_var to zeros on reload (smoe.py:431-437), silently dropping
+        # loaded correlations; splitting preserves them (documented
+        # deviation) and keeps quantized A_diagonal structurally clean.
+        diag_part = np.zeros_like(A)
+        idx = np.arange(A.shape[1])
+        diag_part[:, idx, idx] = A[:, idx, idx]
+        a_diag = pad(diag_part, cap)
+        a_corr = pad(np.tril(A, -1).astype(np.float32), cap)
 
     motion = None
     if cfg.dim_domain == 3 and (cfg.train_trafo or cfg.num_frames > 0):

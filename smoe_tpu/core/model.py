@@ -96,6 +96,13 @@ def maha_from_A(A: jnp.ndarray, musX: jnp.ndarray, cfg: SmoeConfig,
         maha_raw = jnp.dot(phi_raw.astype(dt), q.T.astype(dt),
                            preferred_element_type=jnp.float32)
         maha = jnp.where(model_mask[None, :], maha, maha_raw)
+    if not cfg.train_inverse_cov:
+        # ||A^T (x-mu)||^2 >= 0 by construction in the reference
+        # (smoe.py:796-797); the quadratic-feature form can go slightly
+        # negative under f32 cancellation for large steering values, and a
+        # negative maha would let exp(-0.5*maha) overflow.  Clamp restores
+        # the mathematical invariant (exact, not a heuristic).
+        maha = jnp.maximum(maha, 0.0)
     return maha
 
 

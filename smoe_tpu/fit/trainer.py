@@ -127,7 +127,7 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         coords_in = coords_t
     else:
         coords_in = coords
-    if (fused[0] and model_mask is None
+    if (fused[0] and model_mask is None and not cfg.train_inverse_cov
             and not (eff.motion is not None and cfg.train_trafo)):
         from smoe_tpu.core.model import forward_fused
         return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
@@ -632,6 +632,8 @@ class Smoe:
         self.kernel_count = cfg.start_pis
         self.num_inc_kernels = cfg.start_pis if cfg.add_kernel_slots else 0
         self._rng = jax.random.PRNGKey(0)
+        from smoe_tpu.diag.profile import PhaseTimer
+        self.phase_timer = PhaseTimer()
 
     # ---------------- optimizer ----------------
 
@@ -840,10 +842,11 @@ class Smoe:
                            ((i // ukl_iter) + 1) * ukl_iter, num_iter)
             chunk = boundary - i
             try:
-                loss_a, mse_a, npi_a, nsv_a = self.run_batched_chunk(
-                    chunk, pis_l1, u_l1, sv_l1_sub_l2, sampling_percentage,
-                    train_orig=train_orig, train_inc=train_inc,
-                    use_loss_mask=use_loss_mask)
+                with self.phase_timer.phase("train_sweeps"):
+                    loss_a, mse_a, npi_a, nsv_a = self.run_batched_chunk(
+                        chunk, pis_l1, u_l1, sv_l1_sub_l2,
+                        sampling_percentage, train_orig=train_orig,
+                        train_inc=train_inc, use_loss_mask=use_loss_mask)
                 i = boundary
                 self.iter += chunk
                 loss_val, mse_val = float(loss_a[-1]), float(mse_a[-1])

@@ -84,10 +84,12 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     mask = mask_ref[:]                        # (1, K)
     pi_det = pi_det_ref[:]                    # (1, K)
 
-    # maha[n, k] = sum_f phi[f, n] q[f, k]
-    maha = jax.lax.dot_general(
+    # maha[n, k] = sum_f phi[f, n] q[f, k], clamped >= 0 (the Cholesky form
+    # ||A^T (x-mu)||^2 is non-negative; cancellation must not let
+    # exp(-0.5*maha) overflow)
+    maha = jnp.maximum(jax.lax.dot_general(
         phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (TN, K)
+        preferred_element_type=jnp.float32), 0.0)   # (TN, K)
     # mask inside the exp: dead kernels must not produce inf (smoe.py:738)
     n_w = jnp.exp(-0.5 * (maha * mask)) * pi_det
     denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
@@ -178,9 +180,9 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     g = g_ref[:]                              # (TN, C) cotangent of res
 
     # --- recompute forward tile ---
-    maha = jax.lax.dot_general(
+    maha = jnp.maximum(jax.lax.dot_general(
         phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32), 0.0)
     e_term = jnp.exp(-0.5 * (maha * mask))    # (TN, K)
     n_w = e_term * pi_det
     raw = jnp.sum(n_w, axis=1, keepdims=True)
@@ -366,7 +368,7 @@ fused_gate_expert.defvjp(_fused_fwd, _fused_bwd)
 
 def gate_expert_reference(phi, xe, q, G, pi_det, mask, thr, floor):
     """Bit-level reference of the fused op in plain jnp (same op order)."""
-    maha = phi @ q.T
+    maha = jnp.maximum(phi @ q.T, 0.0)
     n_w = jnp.exp(-0.5 * (maha * mask[None, :])) * pi_det[None, :]
     denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
     w = n_w / denom

@@ -1,0 +1,95 @@
+"""End-to-end CLI drives: fit -> reconstruct (pickle + .smoe bitstream) ->
+decode-from-bitstream, with bit-exact decode parity
+(reference smoe_test.py / smoe_reconstruction.py /
+smoe_reconstruction_decoded.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def fitted(tmp_path_factory):
+    """Small fit via the CLI; returns (img_path, results_dir)."""
+    root = tmp_path_factory.mktemp("cli")
+    img_path = str(root / "img.png")
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.stack([0.5 + 0.3 * np.sin(5 * x),
+                    0.5 + 0.3 * np.cos(4 * y),
+                    0.4 + 0.2 * np.sin(3 * (x + y))], -1)
+    cv2.imwrite(img_path, np.uint8(img * 255))
+
+    res = str(root / "fit")
+    from smoe_tpu.cli.fit import main as fit_main
+    smoe = fit_main(["-i", img_path, "-r", res, "-n", "60", "-k", "4",
+                     "-v", "30"])
+    assert os.path.exists(os.path.join(res, "params_best.pkl"))
+    assert smoe.get_best_mse() is not None
+    return img_path, res
+
+
+def test_fit_then_reconstruct(fitted, tmp_path):
+    img_path, res = fitted
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    out = str(tmp_path / "rec")
+    rec = rec_main(["-i", img_path, "-p",
+                    os.path.join(res, "params_last.pkl"), "-r", out])
+    assert rec is not None
+    assert os.path.exists(os.path.join(out, "output.png"))
+    assert os.path.exists(os.path.join(out, "qparams.pkl"))
+    assert os.path.exists(os.path.join(out, "model.smoe"))
+
+
+def test_decode_matches_reconstruct(fitted, tmp_path):
+    """Decode from pickle and from the entropy-coded bitstream must produce
+    the SAME image as the encoder-side quantized reconstruction."""
+    img_path, res = fitted
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    from smoe_tpu.cli.decode import main as dec_main
+
+    out = str(tmp_path / "rec2")
+    rec = rec_main(["-i", img_path, "-p",
+                    os.path.join(res, "params_last.pkl"), "-r", out])
+
+    dec_pkl = dec_main(["-p", os.path.join(out, "qparams.pkl"),
+                        "-r", str(tmp_path / "dpkl")])
+    np.testing.assert_allclose(dec_pkl, rec, atol=1e-6,
+                               err_msg="pickle decode != encoder recon")
+
+    dec_bs = dec_main(["-p", os.path.join(out, "model.smoe"),
+                       "-r", str(tmp_path / "dbs")])
+    np.testing.assert_allclose(dec_bs, rec, atol=1e-6,
+                               err_msg="bitstream decode != encoder recon")
+
+
+def test_params_reload_preserves_correlations():
+    """Rebuilding a model from a saved params dict must keep the strict-lower
+    steering entries (the reference zeroes A_corr_var on reload,
+    smoe.py:431-437 — documented deviation)."""
+    import jax.numpy as jnp
+    from smoe_tpu.core.init import init_params
+    from smoe_tpu.core.params import assemble_A
+    from smoe_tpu.config import SmoeConfig
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (8, 8, 1)).astype(np.float32)
+    cfg = SmoeConfig(dim_domain=2, num_channels=1, kernels_per_dim=(2, 2),
+                     use_yuv=False)
+    k = 4
+    A_dg = np.tile(np.diag([6.0, 6.0]).astype(np.float32)[None], (k, 1, 1))
+    A_cr = np.zeros((k, 2, 2), np.float32)
+    A_cr[:, 1, 0] = 1.5
+    init = {"musX": np.full((k, 2), 0.5, np.float32),
+            "A_diagonal": A_dg, "A_corr": A_cr,
+            "nu_e": np.full((k, 1), 0.5, np.float32),
+            "gamma_e": np.zeros((k, 2, 1), np.float32),
+            "pis": np.full((k,), 0.25, np.float32)}
+    p = init_params(img, cfg, init)
+    A = np.asarray(assemble_A(
+        type(p)(*(jnp.asarray(getattr(p, f)) if getattr(p, f) is not None
+                  else None for f in p.FIELDS)), cfg))
+    np.testing.assert_allclose(A[:, 1, 0], 1.5)
+    np.testing.assert_allclose(A[:, 0, 0], 6.0)

@@ -1,0 +1,62 @@
+"""4D light-field support (C14): domain, train mask, fit, .mat I/O
+(reference smoe.py:2199-2217, 2374-2389; utils.py:104-110, 155-162)."""
+
+import numpy as np
+import pytest
+
+from smoe_tpu.fit.blocks import _lf_train_mask, build_blockset
+from smoe_tpu.fit.trainer import Smoe
+from smoe_tpu.config import SmoeConfig
+
+
+def make_lf(views=15, h=6, w=6, c=1):
+    rng = np.random.default_rng(0)
+    u = np.linspace(0, 1, views)[:, None, None, None]
+    v = np.linspace(0, 1, views)[None, :, None, None]
+    yy = np.linspace(0, 1, h)[None, None, :, None]
+    xx = np.linspace(0, 1, w)[None, None, None, :]
+    lf = 0.5 + 0.2 * np.sin(3 * (yy + 0.2 * u)) * np.cos(4 * (xx + 0.2 * v))
+    lf = np.broadcast_to(lf, (views, views, h, w)).astype(np.float32)
+    lf = lf + rng.normal(0, 0.01, lf.shape).astype(np.float32)
+    return np.clip(lf, 0, 1)[..., None][..., :c]
+
+
+def test_lf_train_mask_excludes_corners():
+    m = _lf_train_mask((15, 15, 6, 6))
+    assert not m[0, 0].any()          # corner views excluded
+    assert not m[14, 14].any()
+    assert m[7, 7].all()              # central view trained
+
+
+def test_lf_blockset_carries_mask():
+    lf = make_lf()
+    cfg = SmoeConfig(dim_domain=4, num_channels=1,
+                     kernels_per_dim=(2, 2, 2, 2), use_yuv=False)
+    bset = build_blockset(lf, cfg, lf.shape[:4])
+    assert bset.train_mask is not None
+    frac = float(np.mean(np.asarray(bset.train_mask)))
+    assert 0.8 < frac < 1.0           # some views masked, most kept
+
+
+def test_lf_fit_end_to_end():
+    lf = make_lf()
+    s = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False)
+    s.set_optimizer()
+    l0, m0, *_ = s.run_batched(train=False)
+    for _ in range(10):
+        loss, mse, npi, _ = s.run_batched(train=True)
+    assert np.isfinite(loss)
+    assert mse < m0
+
+
+def test_lf_mat_io_roundtrip(tmp_path):
+    from smoe_tpu.io.images import read_image, write_image
+    lf = make_lf(c=1)
+    lf3 = np.repeat(lf, 3, axis=-1)
+    path = str(tmp_path / "lf")
+    out = write_image(lf3, path, dim_domain=4, yuv=False, precision=8)
+    assert out.endswith(".mat")
+    back, precision, _ = read_image(out, use_yuv=False)
+    assert back.shape == lf3.shape
+    assert precision == 8
+    np.testing.assert_allclose(back, lf3, atol=1.5 / 255)
