@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-svreg", "--svreg", type=float, default=0)
     p.add_argument("-hpc", "--hpc_mode", type=str2bool, default=False)
     p.add_argument("-cis", "--current_inc_step", type=int, default=0)
+    p.add_argument("-orfc", "--only_rec_from_checkpoint", type=str2bool,
+                   default=False)
     p.add_argument("-kcn", "--kernel_count_norm_l1", type=str2bool,
                    default=False)
     p.add_argument("-tvs", "--train_svs", type=str2bool, default=False)
@@ -159,6 +161,25 @@ def main(args=None):
         if args.normalize_pis:
             smoe.re_normalize_pis()
         smoe.update_kernel_list()
+
+    if args.only_rec_from_checkpoint:
+        # reconstruction-only run from a restored checkpoint
+        # (reference smoe_test.py flag only_rec_from_checkpoint)
+        smoe.run_batched(train=False, update_reconstruction=True)
+        from smoe_tpu.io.images import write_image
+        out = write_image(smoe.get_reconstruction(),
+                          os.path.join(args.results_path, "reconstruction"),
+                          dim := orig.ndim - 1, yuv=use_yuv)
+        print(f"wrote {out}")
+        return smoe
+
+    # HPC job arrays: resume inc insertion at step N
+    # (reference smoe_test.py:112-116)
+    if args.hpc_mode and args.current_inc_step > 0:
+        smoe.kernel_count += (args.current_inc_step - 1) * \
+            smoe.num_inc_kernels
+        import jax.numpy as jnp
+        smoe.kernel_lists = jnp.ones_like(smoe.kernel_lists)
 
     callbacks = [
         LossPlotter(path=os.path.join(args.results_path, "loss.png")).plot,

@@ -1034,6 +1034,27 @@ class Smoe:
         self.valid = False
         print(f"Model restored from {path}")
 
+    def reinit(self):
+        """Reset params / optimizer state / kernel lists to a fresh init
+        while KEEPING the compiled sweep functions (bench + RD sweeps rerun
+        fits without paying compile again)."""
+        p = init_params(self.image, self.cfg)
+        self.params = jax.tree_util.tree_map(jnp.asarray, p)
+        if self.cfg.use_diff_center:
+            self.params = self.params.replace(
+                musX=jnp.zeros_like(self.params.musX))
+        self.opt_state = self._compiled.tx_main.init(self.params)
+        self.inc_opt_state = self._compiled.tx_inc.init(self.params)
+        eff0 = effective_params(self.params, self.cfg, self.musX_grid)
+        self.kernel_lists = initialize_kernel_lists(
+            eff0.A, eff0.musX, eff0.pis, self.cfg, self.bset)
+        self.valid = False
+        self.qvalid = False
+        self.iter = 0
+        self.losses, self.mses, self.num_pis, self.num_svs = [], [], [], []
+        self.best_loss = self.best_mse = self.best_params = None
+        self._rng = jax.random.PRNGKey(0)
+
     def re_normalize_pis(self):
         """pis /= sum(active pis) after restore (reference smoe.py:774-775,
         smoe_test.py:101-106)."""

@@ -75,6 +75,8 @@ def _sharded_forward(eff: SmoeParams, cfg: SmoeConfig, coords: jnp.ndarray,
     q = kernel_quadratics(B, eff.musX)
     phi = quadratic_features(coords)
     maha = jnp.dot(phi, q.T, preferred_element_type=jnp.float32)
+    if not cfg.train_inverse_cov:
+        maha = jnp.maximum(maha, 0.0)   # see core/model.py maha_from_A
 
     mask = kmask & (eff.pis > 0)
     n_exp = jnp.exp(-0.5 * jnp.where(mask[None, :], maha, 0.0))

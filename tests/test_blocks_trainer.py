@@ -230,3 +230,48 @@ class TestIncremental:
         s.run_batched(train=True, with_inc=True, train_inc=True)
         s.apply_inc()
         assert s.kernel_count > 9 or n_before >= s.cfg.start_pis
+
+
+class TestChunkedTrainer:
+    def test_chunk_equals_stepwise(self, toy_rgb):
+        """run_batched_chunk(n) must produce the same params as n single
+        sweeps (no subsampling -> rng unused, so trajectories coincide)."""
+        import jax
+        from smoe_tpu.fit.trainer import Smoe
+
+        a = Smoe(toy_rgb, kernels_per_dim=[3], batch_size=(16, 16))
+        b = Smoe(toy_rgb, kernels_per_dim=[3], batch_size=(16, 16))
+        a.set_optimizer()
+        b.set_optimizer()
+        for _ in range(4):
+            a.run_batched(train=True)
+        b.run_batched_chunk(4)
+        for f in ("musX", "a_diag", "a_corr", "pis", "nu_e", "gamma_e"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a.params, f)),
+                np.asarray(getattr(b.params, f)), rtol=1e-6, atol=1e-7,
+                err_msg=f"chunked vs stepwise diverged on {f}")
+        np.testing.assert_array_equal(np.asarray(a.kernel_lists),
+                                      np.asarray(b.kernel_lists))
+
+    def test_chunk_metrics_match_history(self, toy_rgb):
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[3])
+        s.set_optimizer()
+        loss, mse, npi, nsv = s.run_batched_chunk(5)
+        assert loss.shape == (5,) and mse.shape == (5,)
+        assert np.all(np.isfinite(loss))
+
+    def test_reinit_resets_state_keeps_compiled(self, toy_rgb):
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[3])
+        s.set_optimizer()
+        p0 = np.asarray(s.params.musX).copy()
+        s.run_batched_chunk(5)
+        assert not np.allclose(np.asarray(s.params.musX), p0)
+        fns_before = dict(s._compiled._train_fns)
+        s.reinit()
+        np.testing.assert_allclose(np.asarray(s.params.musX), p0)
+        assert s._compiled._train_fns == fns_before   # compile cache kept
