@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tiv", "--train_inverse_cov", type=str2bool,
                    default=False)
     p.add_argument("-if", "--init_flag", type=float, default=1)
+    p.add_argument("-ri", "--reseed_iterations", type=int, default=1000,
+                   help="retrain iterations per video time-slab reseed "
+                        "(reference hardcodes 1000, 5x on the last slab)")
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
@@ -218,7 +221,7 @@ def main(args=None):
                 except ValueError as e:
                     print(f"reseed stopped: {e}")
                     break
-                its = 5000 if kk == kpd[2] - 1 else 1000
+                its = args.reseed_iterations * (5 if kk == kpd[2] - 1 else 1)
                 smoe.train(its, val_iter=args.validation_iterations,
                            ukl_iter=args.update_kernel_list_iterations,
                            pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,

@@ -56,11 +56,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+import os
+
+_TILE_BYTES = int(os.environ.get("SMOE_PALLAS_TILE_BYTES", 2 * 1024 * 1024))
+_TILE_CAP = int(os.environ.get("SMOE_PALLAS_TILE_CAP", 1024))
+
+
 def _tile_n(k_pad: int) -> int:
-    """Pixel-tile size: keep the (TN, K) working set ~<= 2 MB so several
-    live f32 intermediates fit in ~16 MB VMEM."""
-    tn = (2 * 1024 * 1024) // (4 * k_pad)
-    tn = max(128, min(1024, tn))
+    """Pixel-tile size: keep each live (TN, K) f32 intermediate at
+    ~_TILE_BYTES so several fit in ~16 MB VMEM (tunable via
+    SMOE_PALLAS_TILE_BYTES / SMOE_PALLAS_TILE_CAP for experiments)."""
+    tn = _TILE_BYTES // (4 * k_pad)
+    tn = max(128, min(_TILE_CAP, tn))
     return _round_up(tn, 128)
 
 

@@ -93,3 +93,29 @@ def test_params_reload_preserves_correlations():
                   else None for f in p.FIELDS)), cfg))
     np.testing.assert_allclose(A[:, 1, 0], 1.5)
     np.testing.assert_allclose(A[:, 0, 0], 6.0)
+
+
+def test_video_fit_cli_npz(tmp_path):
+    """Video path through the CLI: .npz with per-frame affines drives the
+    dual-model init + per-time-slab reseed loop (reference
+    smoe_test.py:123-207)."""
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.2, 0.8, (8, 8, 3)).astype(np.float32)
+    t = 3
+    imgs = np.stack([np.roll(base, i, axis=1) for i in range(t)], axis=0)
+    imgs = np.uint8(imgs * 255)
+    affines = np.zeros((t, 2, 3), np.float32)
+    affines[:, 0, 0] = 1.0
+    affines[:, 1, 1] = 1.0
+    affines[:, 0, 2] = -np.arange(t, dtype=np.float32)
+    npz_path = str(tmp_path / "vid.npz")
+    np.savez(npz_path, imgs=imgs, affines=affines)
+
+    from smoe_tpu.cli.fit import main as fit_main
+    res = str(tmp_path / "out")
+    smoe = fit_main(["-i", npz_path, "-r", res, "-n", "10", "-v", "5",
+                     "-k", "2", "-ri", "2", "-yuv", "false"])
+    assert smoe.model_mask is not None          # dual model active
+    assert smoe.params.motion is not None       # affine-driven motion
+    assert os.path.exists(os.path.join(res, "params_best.pkl"))
+    assert np.isfinite(smoe.get_losses()[-1][1])
