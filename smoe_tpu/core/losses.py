@@ -42,7 +42,7 @@ def pixel_loss(res: jnp.ndarray, target: jnp.ndarray, cfg: SmoeConfig,
         denom = jnp.asarray(float(res.shape[0]), res.dtype)
 
     sq = jnp.square(diff)
-    mse = jnp.sum(sq) / (denom * res.shape[1]) * (2 ** cfg.precision) ** 2
+    mse = jnp.sum(sq) / (denom * res.shape[1]) * float(2 ** cfg.precision) ** 2
 
     eps = cfg.epsilon
     lp = jnp.maximum(0.0, jnp.square(jnp.abs(diff) - eps))
