@@ -198,7 +198,8 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
                   gamma_e: jnp.ndarray, pis: jnp.ndarray, cfg: SmoeConfig,
                   coords: jnp.ndarray, kernel_mask: jnp.ndarray,
                   interpret: bool,
-                  sv_add: Optional[jnp.ndarray] = None) -> ForwardOut:
+                  sv_add: Optional[jnp.ndarray] = None,
+                  packed: bool = False) -> ForwardOut:
     """Forward via the fused Pallas gate+expert kernel (training hot path).
 
     Numerically equivalent to gating() + expert_regression() with the
@@ -206,6 +207,10 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
     not produce the dense w_e map (eval uses the XLA path for that).
     Restrictions: no dual-model mask, coords carry no gradient (so not for
     train_trafo video).
+
+    packed: sort active kernels first and skip inactive kernel tiles
+    entirely (kernels/gate_expert_sparse.py) — compute scales with the
+    per-block kernel-list density instead of total K.
     """
     from smoe_tpu.kernels.gate_expert import fused_gate_expert
 
@@ -237,11 +242,24 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
         xe = jnp.ones((coords.shape[0], 1), coords.dtype)
         G = nu_e
 
-    res_raw, surv = fused_gate_expert(
-        phi, xe, q, G, pi_det.astype(jnp.float32),
-        mask.astype(jnp.float32),
-        float(cfg.minimum_influence), float(DENOM_FLOOR),
-        int(coords.shape[0]), bool(interpret))
+    if packed:
+        from smoe_tpu.kernels.gate_expert_sparse import \
+            fused_gate_expert_packed
+        order = jnp.argsort(jnp.logical_not(mask))   # active first, stable
+        count = jnp.sum(mask).astype(jnp.int32)
+        res_raw, surv_p = fused_gate_expert_packed(
+            phi, xe, q[order], G[order],
+            pi_det[order].astype(jnp.float32),
+            mask[order].astype(jnp.float32), count,
+            float(cfg.minimum_influence), float(DENOM_FLOOR),
+            int(coords.shape[0]), bool(interpret))
+        surv = jnp.zeros((k,), surv_p.dtype).at[order].set(surv_p)
+    else:
+        res_raw, surv = fused_gate_expert(
+            phi, xe, q, G, pi_det.astype(jnp.float32),
+            mask.astype(jnp.float32),
+            float(cfg.minimum_influence), float(DENOM_FLOOR),
+            int(coords.shape[0]), bool(interpret))
     if sv_add is not None:
         # SV residual on the Y channel, pre-clip (reference smoe.py:850-857)
         res_raw = res_raw.at[:, 0].add(sv_add)

@@ -132,7 +132,8 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         from smoe_tpu.core.model import forward_fused
         return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
                              eff.pis, cfg, coords_in, kernel_mask,
-                             interpret=fused[1], sv_add=sv_add)
+                             interpret=fused[1], sv_add=sv_add,
+                             packed=len(fused) > 2 and fused[2])
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)
@@ -217,7 +218,10 @@ class _Compiled:
         self.num_pixel = num_pixel
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
         from smoe_tpu.core.model import resolve_pallas
-        self.pallas = resolve_pallas(cfg.use_pallas)
+        # packed (block-sparse) variant pays off when per-block kernel
+        # lists are selective, i.e. with multiple blocks
+        n_blocks = int(bset.coords.shape[0])
+        self.pallas = resolve_pallas(cfg.use_pallas) + (n_blocks > 1,)
         self._train_fns: Dict[Any, Any] = {}
         self.tx_main = self._make_tx(inc=False)
         self.tx_inc = self._make_tx(inc=True)

@@ -138,3 +138,102 @@ def test_fused_in_training_sweep():
         loss, mse, npi, _ = s.run_batched(train=True)
     assert np.isfinite(loss)
     assert mse < m0
+
+
+class TestPackedSparse:
+    """Block-sparse packed kernel (kernels/gate_expert_sparse.py)."""
+
+    def _inputs(self, n=70, k=9, active=5, seed=3, e=3, c=3, f=7):
+        rng = np.random.default_rng(seed)
+        phi = jnp.asarray(rng.normal(0, 1, (n, f)), jnp.float32)
+        xe = jnp.asarray(rng.normal(0, 1, (n, e)), jnp.float32)
+        q = jnp.asarray(rng.normal(0, 1, (k, f)), jnp.float32)
+        G = jnp.asarray(rng.normal(0, 1, (k, e * c)), jnp.float32)
+        pi = jnp.asarray(rng.uniform(0.1, 0.5, (k,)), jnp.float32)
+        mask = np.zeros((k,), np.float32)
+        mask[:active] = 1.0          # already packed: active first
+        pi = pi * jnp.asarray(mask)
+        return phi, xe, q, G, pi, jnp.asarray(mask)
+
+    def test_packed_matches_dense(self):
+        from smoe_tpu.kernels.gate_expert import fused_gate_expert
+        from smoe_tpu.kernels.gate_expert_sparse import \
+            fused_gate_expert_packed
+
+        phi, xe, q, G, pi, mask = self._inputs()
+        n = phi.shape[0]
+        res_d, surv_d = fused_gate_expert(phi, xe, q, G, pi, mask,
+                                          1e-3, 1e-11, n, True)
+        res_p, surv_p = fused_gate_expert_packed(
+            phi, xe, q, G, pi, mask, jnp.int32(5), 1e-3, 1e-11, n, True)
+        np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(surv_p), np.asarray(surv_d),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_packed_gradients_match_dense(self):
+        from smoe_tpu.kernels.gate_expert import fused_gate_expert
+        from smoe_tpu.kernels.gate_expert_sparse import \
+            fused_gate_expert_packed
+
+        phi, xe, q, G, pi, mask = self._inputs(seed=7)
+        n = phi.shape[0]
+
+        def loss_d(q, G, pi):
+            res, _ = fused_gate_expert(phi, xe, q, G, pi, mask,
+                                       1e-3, 1e-11, n, True)
+            return jnp.sum(jnp.sin(res))
+
+        def loss_p(q, G, pi):
+            res, _ = fused_gate_expert_packed(
+                phi, xe, q, G, pi, mask, jnp.int32(5), 1e-3, 1e-11, n,
+                True)
+            return jnp.sum(jnp.sin(res))
+
+        gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, G, pi)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, G, pi)
+        for a, b, name in zip(gp, gd, ("q", "G", "pi")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6,
+                                       err_msg=f"packed grad {name}")
+
+    def test_forward_fused_packed_end_to_end(self):
+        """Unpacked caller path: forward_fused(packed=True) re-sorts and
+        scatters survivors back to original kernel order."""
+        from smoe_tpu.core.model import forward_fused, smoe_forward
+        from smoe_tpu.core.params import assemble_A
+
+        cfg, params, coords = _setup(seed=11)
+        kmask = np.ones((params.capacity,), bool)
+        kmask[1::2] = False           # interleaved inactive kernels
+        kmask = jnp.asarray(kmask)
+        out_xla = smoe_forward(params, cfg, coords, kmask)
+        A = assemble_A(params, cfg)
+        out_p = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
+                              params.pis, cfg, coords, kmask,
+                              interpret=True, packed=True)
+        np.testing.assert_allclose(np.asarray(out_p.res),
+                                   np.asarray(out_xla.res),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_p.survivors),
+                                      np.asarray(out_xla.survivors))
+
+    def test_training_sweep_with_packed_blocks(self):
+        """Multi-block training on CPU uses the packed path (use_pallas=on,
+        B>1) and converges."""
+        from smoe_tpu.fit.trainer import Smoe
+
+        rng = np.random.default_rng(4)
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([0.5 + 0.3 * np.sin(4 * x),
+                        0.5 + 0.2 * np.cos(3 * y),
+                        np.full_like(x, 0.5)], -1).astype(np.float32)
+        s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 8),
+                 use_pallas="on")
+        assert s._compiled.pallas[2]              # packed active
+        s.set_optimizer()
+        l0, m0, *_ = s.run_batched(train=False)
+        for _ in range(8):
+            loss, mse, npi, _ = s.run_batched(train=True)
+        assert np.isfinite(loss)
+        assert mse < m0
