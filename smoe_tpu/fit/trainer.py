@@ -519,6 +519,7 @@ class Smoe:
                  loss_mask: Optional[np.ndarray] = None,
                  affines: Optional[np.ndarray] = None,
                  init_flag: float = 1,
+                 iter_offset: int = 0,
                  **cfg_overrides):
         image = np.asarray(image, np.float32)
         dim = image.ndim - 1
@@ -633,6 +634,8 @@ class Smoe:
         self.qweight_matrix_argmax = None
         self.qparams = None
         self.rparams = None
+        self.iter = int(iter_offset)      # resumed-run offset (reference
+                                          # smoe.py:38 iter_offset kwarg)
         self.kernel_count = cfg.start_pis
         self.num_inc_kernels = cfg.start_pis if cfg.add_kernel_slots else 0
         self._rng = jax.random.PRNGKey(0)
