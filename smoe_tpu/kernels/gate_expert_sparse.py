@@ -196,7 +196,7 @@ def _bwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
 # pallas_call wrappers + custom vjp
 # ---------------------------------------------------------------------------
 
-def _specs(f_pad, e_pad, k_pad, ec, tn, c_dim, n_extra=0):
+def _specs(f_pad, e_pad, k_pad, ec, tn):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                   # count
         pl.BlockSpec((f_pad, tn), lambda i: (0, i),
@@ -231,7 +231,7 @@ def _fwd_call(count, phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
     res, surv = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=_specs(f_pad, e_pad, k_pad, ec, tn, c_dim),
+        in_specs=_specs(f_pad, e_pad, k_pad, ec, tn),
         out_specs=[
             pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -260,7 +260,7 @@ def _bwd_call(count, phiT, xeT, q, G, pi_det, mask, g, *, thr, floor,
 
     kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,
                              thr=thr, floor=floor)
-    in_specs = _specs(f_pad, e_pad, k_pad, ec, tn, c_dim)
+    in_specs = _specs(f_pad, e_pad, k_pad, ec, tn)
     in_specs.append(pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))       # g
     dq, dG, dpi = pl.pallas_call(
