@@ -1,0 +1,72 @@
+"""Config-5 capability check (BASELINE.md): video volume fit with 3D
+spatio-temporal kernels + global-motion compensation.
+
+Synthetic panning video (known affine ground truth) fit with the dual-model
+affine-init path. Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_video(h=288, w=352, t=8, shift=2.0):
+    """CIF-sized panning scene."""
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:h, 0:w + int(shift * t) + 4]
+    y = y / (h - 1)
+    x = x / (w - 1)
+    wide = np.stack([
+        0.5 + 0.3 * np.sin(6 * x + 2 * y),
+        0.5 + 0.25 * np.cos(4 * x * y + 1.0),
+        0.4 + 0.3 * np.sin(3 * (x + y)),
+    ], axis=-1).astype(np.float32)
+    wide += rng.normal(0, 0.005, wide.shape).astype(np.float32)
+    frames = [wide[:, int(shift * i):int(shift * i) + w] for i in range(t)]
+    vid = np.clip(np.stack(frames, axis=2), 0, 1)
+    affines = np.zeros((t, 2, 3), np.float32)
+    affines[:, 0, 0] = 1.0
+    affines[:, 1, 1] = 1.0
+    affines[:, 0, 2] = -shift * np.arange(t)
+    return vid, affines
+
+
+def main():
+    from smoe_tpu import Smoe
+
+    vid, affines = build_video()
+    t0 = time.time()
+    s = Smoe(vid, kernels_per_dim=[12, 12, 4], affines=affines,
+             init_flag=1, use_yuv=True, use_determinant=True)
+    s.set_optimizer()
+    s.run_batched_chunk(20)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    loss, mse, npi, _ = s.run_batched_chunk(100)
+    per_iter = (time.time() - t0) / 100
+    best = 10 * np.log10(255 ** 2 / np.nanmin(mse))
+    for _ in range(4):
+        loss, mse, npi, _ = s.run_batched_chunk(100)
+        s.update_kernel_list()
+        best = max(best, 10 * np.log10(255 ** 2 / np.nanmin(mse)))
+
+    print(json.dumps({
+        "metric": "video_cif_fit_ms_per_iter",
+        "value": round(per_iter * 1000, 3),
+        "unit": "ms",
+        "frames": vid.shape[2],
+        "kernels_live": int(npi[-1]),
+        "dual_model": s.model_mask is not None,
+        "psnr_500_iters": round(float(best), 2),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
