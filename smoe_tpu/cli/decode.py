@@ -25,7 +25,7 @@ def main(args=None):
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.quantize import rescaler
-    from smoe_tpu.config import SmoeConfig
+
     from smoe_tpu.io.images import read_image, write_image
 
     with open(a.params_file, "rb") as fd:

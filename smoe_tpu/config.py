@@ -8,7 +8,7 @@ Mirrors the hyperparameter surface of the reference `Smoe.__init__`
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

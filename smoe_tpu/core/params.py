@@ -20,7 +20,7 @@ Parameter semantics (reference smoe.py table, SURVEY.md §0):
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ full checkpoint every 100 iterations (reference logger.py:11-46)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 

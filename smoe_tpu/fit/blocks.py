@@ -18,7 +18,7 @@ from __future__ import annotations
 from itertools import product
 from typing import NamedTuple, Optional, Tuple
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

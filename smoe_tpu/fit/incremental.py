@@ -20,9 +20,9 @@ min_distance spacing, border exclusion, top-num_peaks by intensity).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import maximum_filter, uniform_filter

@@ -19,7 +19,7 @@ checkpoint/restore, reinit_inc/apply_inc).
 from __future__ import annotations
 
 import pickle
-from functools import partial
+
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
