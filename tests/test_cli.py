@@ -119,3 +119,17 @@ def test_video_fit_cli_npz(tmp_path):
     assert smoe.params.motion is not None       # affine-driven motion
     assert os.path.exists(os.path.join(res, "params_best.pkl"))
     assert np.isfinite(smoe.get_losses()[-1][1])
+
+
+def test_inc_steps_cli(fitted, tmp_path):
+    """Incremental kernel insertion through the CLI (-is): error-map peaks
+    -> inc block training -> splice (reference smoe_test.py:221-245)."""
+    img_path, _ = fitted
+    from smoe_tpu.cli.fit import main as fit_main
+    res = str(tmp_path / "inc")
+    smoe = fit_main(["-i", img_path, "-r", res, "-n", "20", "-v", "10",
+                     "-k", "3", "-is", "1", "-ni", "10", "-na", "10"])
+    # capacity was extended by add_kernel_slots and kernels were spliced in
+    assert smoe.cfg.add_kernel_slots == 9
+    assert smoe.kernel_count > 9
+    assert np.isfinite(smoe.get_losses()[-1][1])
