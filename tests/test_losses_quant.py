@@ -231,3 +231,35 @@ class TestCodecRoundTrip:
         bits = rate_bits(qp, cfg)
         # 15 active kernels x (20*3 + 18*2 + 6*3 + 10 + 10*6) bits
         assert bits == 15 * (60 + 36 + 18 + 10 + 60)
+
+
+class TestDiffCenterCodec:
+    def test_diff_center_quantize_decode_roundtrip(self, toy_rgb):
+        """use_diff_center stores musX as offsets; the decoder must re-add
+        the grid (reference quantizer.py:140-141,
+        smoe_reconstruction_decoded.py:34)."""
+        import jax.numpy as jnp
+        from smoe_tpu.fit.trainer import Smoe
+        from smoe_tpu.codec.quantize import quantize_params, rescaler
+
+        s = Smoe(toy_rgb, kernels_per_dim=[4], use_diff_center=True)
+        s.set_optimizer()
+        for _ in range(10):
+            s.run_batched(train=True)
+        # musX params are offsets (small); effective centers near the grid
+        off = np.abs(np.asarray(s.params.musX)).max()
+        assert off < 0.2
+
+        s.qparams = quantize_params(s.get_params(), s.cfg)
+        grid = np.asarray(s.musX_grid)[np.asarray(
+            s.qparams["used_kernels"])]
+        s.rparams = rescaler(s.qparams, s.cfg, musX_grid=grid)
+        # dequantized centers live near the grid positions, not near 0
+        assert np.all(s.rparams["musX"] >= -0.2)
+        assert np.all(s.rparams["musX"] <= 1.2)
+
+        l, m, *_ = s.run_batched(train=False, update_reconstruction=True)
+        ql, qm, *_ = s.run_batched(train=False, update_reconstruction=True,
+                                   with_quantized_params=True)
+        # 18-bit musX / 20-bit A quantization: near-lossless decode
+        assert abs(qm - m) / m < 0.05
