@@ -62,34 +62,35 @@ def _fwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
 
     jax.lax.fori_loop(0, n_kt, pass1, 0)
 
-    n_w = nw_ref[:]                              # (TN, K)
-    denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
-    w = n_w / denom
-    w = jnp.where(w > thr, w, 0.0)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * tile_n
-    w_valid = jnp.where(row < n_actual, w, 0.0)
-    tile_surv = jnp.max(w_valid, axis=0, keepdims=True)
+    # (Mosaic cannot dynamic-slice VALUES, only refs — so per-tile data is
+    # re-read from the nw scratch ref and w recomputed per tile.)
+    denom = jnp.maximum(floor,
+                        jnp.sum(nw_ref[:], axis=1, keepdims=True))
 
     @pl.when(i == 0)
     def _():
-        surv_ref[:] = tile_surv
+        surv_ref[:] = jnp.zeros_like(surv_ref)
 
-    @pl.when(i > 0)
-    def _():
-        surv_ref[:] = jnp.maximum(surv_ref[:], tile_surv)
+    tn_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_n, KT), 0) + i * tile_n
+    row_ok = tn_rows < n_actual
 
     def pass2(j, wg):
-        w_t = jax.lax.dynamic_slice_in_dim(w, j * KT, KT, axis=1)
+        nw_t = nw_ref[:, pl.ds(j * KT, KT)]          # (TN, KT)
+        w_t = nw_t / denom
+        w_t = jnp.where(w_t > thr, w_t, 0.0)
+        sv_t = jnp.max(jnp.where(row_ok, w_t, 0.0), axis=0, keepdims=True)
+        surv_ref[:, pl.ds(j * KT, KT)] = jnp.maximum(
+            surv_ref[:, pl.ds(j * KT, KT)], sv_t)
         g_t = G_ref[pl.ds(j * KT, KT), :]
         return wg + jnp.dot(w_t, g_t, preferred_element_type=jnp.float32)
 
     wg = jax.lax.fori_loop(
         0, n_kt, pass2,
-        jnp.zeros((w.shape[0], e_dim * c_dim), jnp.float32))
+        jnp.zeros((tile_n, e_dim * c_dim), jnp.float32))
 
     xeT = xeT_ref[:]
-    res = jnp.zeros((w.shape[0], c_dim), jnp.float32)
+    res = jnp.zeros((tile_n, c_dim), jnp.float32)
     for j in range(e_dim):
         res = res + xeT[j, :][:, None] * wg[:, j * c_dim:(j + 1) * c_dim]
     res_ref[:] = res
@@ -127,12 +128,9 @@ def _bwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
 
     jax.lax.fori_loop(0, n_kt, pass1, 0)
 
-    n_w = nw_ref[:]
-    raw = jnp.sum(n_w, axis=1, keepdims=True)
+    raw = jnp.sum(nw_ref[:], axis=1, keepdims=True)
     denom = jnp.maximum(floor, raw)
-    w_tilde = n_w / denom
-    cull = (w_tilde > thr).astype(jnp.float32)
-    w = w_tilde * cull
+    live = (raw > floor).astype(jnp.float32)
 
     xeT = xeT_ref[:]
     dwg_cols = []
@@ -141,28 +139,30 @@ def _bwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
     dwg = jnp.concatenate(dwg_cols, axis=1)      # (TN, E*C)
 
     # s[n] = sum_k dwt[n,k] w_tilde[n,k]  — accumulate over active tiles
+    # (per-tile w recomputed from the nw scratch ref; Mosaic cannot
+    # dynamic-slice values)
     def pass_s(j, s):
         g_t = G_ref[pl.ds(j * KT, KT), :]
         dw_t = jax.lax.dot_general(
             dwg, g_t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (TN, KT)
-        c_t = jax.lax.dynamic_slice_in_dim(cull, j * KT, KT, axis=1)
-        wt_t = jax.lax.dynamic_slice_in_dim(w_tilde, j * KT, KT, axis=1)
+        nw_t = nw_ref[:, pl.ds(j * KT, KT)]
+        wt_t = nw_t / denom
+        c_t = (wt_t > thr).astype(jnp.float32)
         return s + jnp.sum(dw_t * c_t * wt_t, axis=1, keepdims=True)
 
     s = jax.lax.fori_loop(0, n_kt, pass_s,
                           jnp.zeros((g.shape[0], 1), jnp.float32))
-    live = (raw > floor).astype(jnp.float32)
 
     def pass_grads(j, _):
         sl = pl.ds(j * KT, KT)
         q_t = qT_ref[:, sl]
         g_t = G_ref[sl, :]
         m_t = mask_ref[:, sl]
-        pd_t = pi_det_ref[:, sl]
-        nw_t = jax.lax.dynamic_slice_in_dim(n_w, j * KT, KT, axis=1)
-        c_t = jax.lax.dynamic_slice_in_dim(cull, j * KT, KT, axis=1)
-        w_t = jax.lax.dynamic_slice_in_dim(w, j * KT, KT, axis=1)
+        nw_t = nw_ref[:, sl]
+        wt_t = nw_t / denom
+        c_t = (wt_t > thr).astype(jnp.float32)
+        w_t = wt_t * c_t
         # recompute e_term = exp(-0.5 maha_m) exactly (nw/pd is unsafe for
         # dead kernels with pd == 0, whose dpi still needs e_term)
         maha = jnp.maximum(jax.lax.dot_general(
