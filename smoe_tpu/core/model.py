@@ -246,11 +246,10 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
         from smoe_tpu.kernels.gate_expert_sparse import \
             fused_gate_expert_packed
         order = jnp.argsort(jnp.logical_not(mask))   # active first, stable
-        count = jnp.sum(mask).astype(jnp.int32)
         res_raw, surv_p = fused_gate_expert_packed(
             phi, xe, q[order], G[order],
             pi_det[order].astype(jnp.float32),
-            mask[order].astype(jnp.float32), count,
+            mask[order].astype(jnp.float32),
             float(cfg.minimum_influence), float(DENOM_FLOOR),
             int(coords.shape[0]), bool(interpret))
         surv = jnp.zeros((k,), surv_p.dtype).at[order].set(surv_p)

@@ -356,27 +356,53 @@ class _Compiled:
         def one_sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
                       musX_grid, model_mask, probs, rng, thr_sv):
             B = bset.coords.shape[0]
-            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
             rngs = jax.random.split(rng, B)
-
-            def body(carry, xs):
-                g_acc, loss_acc, mse_acc = carry
-                coords, targets, kmask, lw, p, r, bidx = xs
-                (loss, (mse, surv, _, num_active)), g = grad_fn(
-                    params, coords, targets, kmask, lw, reg,
-                    musX_grid, model_mask, p, r, bidx, thr_sv)
-                g_acc = jax.tree_util.tree_map(
-                    lambda a, b: a + b, g_acc, g)
-                return ((g_acc, loss_acc + bw * loss, mse_acc + bw * mse),
-                        (surv, num_active))
-
             nb_pix = bset.coords.shape[1]
             lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
                 else jnp.zeros((B, nb_pix))
-            (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
-                body, (zero_g, 0.0, 0.0),
-                (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
-                 jnp.arange(B)))
+
+            # With the fused Pallas path active, vmap the per-block loss so
+            # the whole sweep is ONE kernel launch pair (vmap prepends a
+            # grid dimension to pallas_call) — Mosaic pipelines across
+            # block boundaries instead of paying per-block XLA launches.
+            # The XLA path keeps the sequential scan: vmapping it would
+            # materialize (B, Nb, K) intermediates (GBs at 1080p).
+            fused_active = (
+                self.pallas[0] and model_mask is None
+                and not cfg.train_inverse_cov
+                and not (cfg.train_trafo and params.motion is not None))
+
+            if fused_active:
+                def total(p):
+                    losses, aux = jax.vmap(
+                        lambda c, t, km, lw_, pr, r, b: loss_for_block(
+                            p, c, t, km, lw_, reg, musX_grid, model_mask,
+                            pr, r, b, thr_sv)
+                    )(bset.coords, bset.targets, klists, lw_xs, probs,
+                      rngs, jnp.arange(B))
+                    return bw * jnp.sum(losses), aux
+
+                (loss, (mses, survivors, _, num_active)), grads = \
+                    jax.value_and_grad(total, has_aux=True)(params)
+                mse = bw * jnp.sum(mses)
+            else:
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+                def body(carry, xs):
+                    g_acc, loss_acc, mse_acc = carry
+                    coords, targets, kmask, lw, p, r, bidx = xs
+                    (loss, (mse, surv, _, num_active)), g = grad_fn(
+                        params, coords, targets, kmask, lw, reg,
+                        musX_grid, model_mask, p, r, bidx, thr_sv)
+                    g_acc = jax.tree_util.tree_map(
+                        lambda a, b: a + b, g_acc, g)
+                    return ((g_acc, loss_acc + bw * loss,
+                             mse_acc + bw * mse), (surv, num_active))
+
+                (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
+                    body, (zero_g, 0.0, 0.0),
+                    (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
+                     jnp.arange(B)))
 
             new_params = params
             if train_orig:

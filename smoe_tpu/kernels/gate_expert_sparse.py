@@ -7,9 +7,9 @@ The dense fused kernel (kernels/gate_expert.py) folds the list into a mask,
 so masked kernels still burn MXU/VPU work.
 
 Here the caller PACKS active kernels first (a stable argsort of the mask —
-an O(K) XLA gather outside the kernel) and passes `count`; the kernel loops
-over K-tiles with a dynamic trip count `ceil(count / KT)`, so compute scales
-with the ACTIVE kernel fraction:
+an O(K) XLA gather outside the kernel); the kernel derives the active count
+from sum(mask) and loops over K-tiles with a dynamic trip count
+`ceil(count / KT)`, so compute scales with the ACTIVE kernel fraction:
 
     pass 1: n_w tiles -> VMEM scratch (maha matmul + exp, skipped beyond count)
     gating: denominator / cull over the full scratch (inactive tiles are 0)
@@ -40,12 +40,15 @@ KT = 256   # kernel-tile width (lane multiple)
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
+def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
                 mask_ref, res_ref, surv_ref, nw_ref, *, e_dim: int,
                 c_dim: int, n_actual: int, tile_n: int, thr: float,
                 floor: float):
     i = pl.program_id(0)
-    n_kt = pl.cdiv(count_ref[0], KT)
+    # active-kernel count from the packed mask (active entries first); no
+    # scalar input needed, so the op vmaps cleanly over blocks
+    count = jnp.sum(mask_ref[:]).astype(jnp.int32)
+    n_kt = pl.cdiv(count, KT)
 
     phiT = phiT_ref[:]                          # (F, TN)
     nw_ref[:] = jnp.zeros_like(nw_ref)          # inactive tiles stay 0
@@ -100,11 +103,12 @@ def _fwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
+def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
                 mask_ref, g_ref, dq_ref, dG_ref, dpi_ref, nw_ref,
                 *, e_dim: int, c_dim: int, thr: float, floor: float):
     i = pl.program_id(0)
-    n_kt = pl.cdiv(count_ref[0], KT)
+    count = jnp.sum(mask_ref[:]).astype(jnp.int32)
+    n_kt = pl.cdiv(count, KT)
 
     phiT = phiT_ref[:]
     g = g_ref[:]
@@ -198,7 +202,6 @@ def _bwd_kernel(count_ref, phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
 
 def _specs(f_pad, e_pad, k_pad, ec, tn):
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),                   # count
         pl.BlockSpec((f_pad, tn), lambda i: (0, i),
                      memory_space=pltpu.VMEM),                   # phiT
         pl.BlockSpec((e_pad, tn), lambda i: (0, i),
@@ -215,7 +218,7 @@ def _specs(f_pad, e_pad, k_pad, ec, tn):
     return in_specs
 
 
-def _fwd_call(count, phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
+def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
               n_actual, interpret):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
@@ -244,11 +247,11 @@ def _fwd_call(count, phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
         ],
         scratch_shapes=[pltpu.VMEM((tn, k_pad), jnp.float32)],
         interpret=interpret,
-    )(count, phiT, xeT, q.T, G, pi_det[None, :], mask[None, :])
+    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :])
     return res, surv
 
 
-def _bwd_call(count, phiT, xeT, q, G, pi_det, mask, g, *, thr, floor,
+def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor,
               c_dim, interpret):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
@@ -282,7 +285,7 @@ def _bwd_call(count, phiT, xeT, q, G, pi_det, mask, g, *, thr, floor,
         ],
         scratch_shapes=[pltpu.VMEM((tn, k_pad), jnp.float32)],
         interpret=interpret,
-    )(count, phiT, xeT, q.T, G, pi_det[None, :], mask[None, :], g)
+    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :], g)
     return dq, dG, dpi[0]
 
 
@@ -302,56 +305,53 @@ def _prep(phi, xe, q, G, pi_det, mask):
             _pad_axis(mask, 0, k_pad))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def fused_gate_expert_packed(phi, xe, q, G, pi_det, mask, count,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_gate_expert_packed(phi, xe, q, G, pi_det, mask,
                              thr: float, floor: float, n_actual: int,
                              interpret: bool) -> Tuple[jnp.ndarray,
                                                        jnp.ndarray]:
     """Packed block-sparse gate+expert (inputs sorted active-first).
 
-    count: int32 scalar — number of active kernels; rows >= count must have
-    pi_det == 0 and mask == 0. Returns (res (N, C), surv (K,) max-gating).
-    Gradients flow to q, G, pi_det.
+    mask must be packed (all active entries first); the kernels derive the
+    active count from sum(mask), so the op vmaps over blocks cleanly.
+    Returns (res (N, C), surv (K,) max-gating). Gradients flow to
+    q, G, pi_det.
     """
-    return _impl(phi, xe, q, G, pi_det, mask, count, thr, floor,
+    return _impl(phi, xe, q, G, pi_det, mask, thr, floor,
                  n_actual, interpret)
 
 
-def _impl(phi, xe, q, G, pi_det, mask, count, thr, floor, n_actual,
+def _impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
           interpret):
     n = phi.shape[0]
     k = q.shape[0]
     c_dim = G.shape[1] // xe.shape[1]
     phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
-    cnt = jnp.asarray(count, jnp.int32).reshape((1,))
-    res, surv = _fwd_call(cnt, phiT, xeT, q_p, G_p, pi_p, m_p, thr=thr,
+    res, surv = _fwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, thr=thr,
                           floor=floor, c_dim=c_dim, n_actual=n_actual,
                           interpret=interpret)
     return res[:n], surv[0, :k]
 
 
-def _fwd(phi, xe, q, G, pi_det, mask, count, thr, floor, n_actual,
-         interpret):
-    out = _impl(phi, xe, q, G, pi_det, mask, count, thr, floor, n_actual,
+def _fwd(phi, xe, q, G, pi_det, mask, thr, floor, n_actual, interpret):
+    out = _impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
                 interpret)
-    return out, (phi, xe, q, G, pi_det, mask, count)
+    return out, (phi, xe, q, G, pi_det, mask)
 
 
 def _bwd(thr, floor, n_actual, interpret, residuals, cts):
-    phi, xe, q, G, pi_det, mask, count = residuals
+    phi, xe, q, G, pi_det, mask = residuals
     g_res, _ = cts
     n, f = phi.shape
     k = q.shape[0]
     c_dim = G.shape[1] // xe.shape[1]
     phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
-    cnt = jnp.asarray(count, jnp.int32).reshape((1,))
     g_pad = _pad_axis(g_res.astype(jnp.float32), 0, phiT.shape[1])
-    dq, dG, dpi = _bwd_call(cnt, phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
+    dq, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
                             thr=thr, floor=floor, c_dim=c_dim,
                             interpret=interpret)
     return (jnp.zeros_like(phi), jnp.zeros_like(xe),
-            dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask),
-            np.zeros(np.shape(count), dtype=jax.dtypes.float0))
+            dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask))
 
 
 fused_gate_expert_packed.defvjp(_fwd, _bwd)

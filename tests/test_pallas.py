@@ -165,7 +165,7 @@ class TestPackedSparse:
         res_d, surv_d = fused_gate_expert(phi, xe, q, G, pi, mask,
                                           1e-3, 1e-11, n, True)
         res_p, surv_p = fused_gate_expert_packed(
-            phi, xe, q, G, pi, mask, jnp.int32(5), 1e-3, 1e-11, n, True)
+            phi, xe, q, G, pi, mask, 1e-3, 1e-11, n, True)
         np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_d),
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(surv_p), np.asarray(surv_d),
@@ -186,8 +186,7 @@ class TestPackedSparse:
 
         def loss_p(q, G, pi):
             res, _ = fused_gate_expert_packed(
-                phi, xe, q, G, pi, mask, jnp.int32(5), 1e-3, 1e-11, n,
-                True)
+                phi, xe, q, G, pi, mask, 1e-3, 1e-11, n, True)
             return jnp.sum(jnp.sin(res))
 
         gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, G, pi)
