@@ -218,10 +218,14 @@ class _Compiled:
         self.num_pixel = num_pixel
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
         from smoe_tpu.core.model import resolve_pallas
-        # packed (block-sparse) variant pays off when per-block kernel
-        # lists are selective, i.e. with multiple blocks
-        n_blocks = int(bset.coords.shape[0])
-        self.pallas = resolve_pallas(cfg.use_pallas) + (n_blocks > 1,)
+        # The packed (block-sparse) kernel variant is opt-in
+        # (use_pallas="packed"): measured on v5e at 1080p/16 blocks it
+        # trails the dense fused kernel (178 vs 151 ms/iter) — per-grid-step
+        # fixed costs outweigh the skipped tiles at these sizes.  It wins
+        # only at much larger K with very sparse kernel lists.
+        mode = cfg.use_pallas
+        base = resolve_pallas("on" if mode == "packed" else mode)
+        self.pallas = base + (mode == "packed",)
         self._train_fns: Dict[Any, Any] = {}
         self.tx_main = self._make_tx(inc=False)
         self.tx_inc = self._make_tx(inc=True)
@@ -361,48 +365,27 @@ class _Compiled:
             lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
                 else jnp.zeros((B, nb_pix))
 
-            # With the fused Pallas path active, vmap the per-block loss so
-            # the whole sweep is ONE kernel launch pair (vmap prepends a
-            # grid dimension to pallas_call) — Mosaic pipelines across
-            # block boundaries instead of paying per-block XLA launches.
-            # The XLA path keeps the sequential scan: vmapping it would
-            # materialize (B, Nb, K) intermediates (GBs at 1080p).
-            fused_active = (
-                self.pallas[0] and model_mask is None
-                and not cfg.train_inverse_cov
-                and not (cfg.train_trafo and params.motion is not None))
+            # NOTE (measured on v5e, 1080p, 16 blocks, K=576): the
+            # sequential scan beats a vmapped whole-sweep variant (151 vs
+            # 396 ms/iter) — vmap materializes every block's padded
+            # phi/xe/residuals in HBM at once while the scan streams them.
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
 
-            if fused_active:
-                def total(p):
-                    losses, aux = jax.vmap(
-                        lambda c, t, km, lw_, pr, r, b: loss_for_block(
-                            p, c, t, km, lw_, reg, musX_grid, model_mask,
-                            pr, r, b, thr_sv)
-                    )(bset.coords, bset.targets, klists, lw_xs, probs,
-                      rngs, jnp.arange(B))
-                    return bw * jnp.sum(losses), aux
+            def body(carry, xs):
+                g_acc, loss_acc, mse_acc = carry
+                coords, targets, kmask, lw, p, r, bidx = xs
+                (loss, (mse, surv, _, num_active)), g = grad_fn(
+                    params, coords, targets, kmask, lw, reg,
+                    musX_grid, model_mask, p, r, bidx, thr_sv)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, g_acc, g)
+                return ((g_acc, loss_acc + bw * loss,
+                         mse_acc + bw * mse), (surv, num_active))
 
-                (loss, (mses, survivors, _, num_active)), grads = \
-                    jax.value_and_grad(total, has_aux=True)(params)
-                mse = bw * jnp.sum(mses)
-            else:
-                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
-
-                def body(carry, xs):
-                    g_acc, loss_acc, mse_acc = carry
-                    coords, targets, kmask, lw, p, r, bidx = xs
-                    (loss, (mse, surv, _, num_active)), g = grad_fn(
-                        params, coords, targets, kmask, lw, reg,
-                        musX_grid, model_mask, p, r, bidx, thr_sv)
-                    g_acc = jax.tree_util.tree_map(
-                        lambda a, b: a + b, g_acc, g)
-                    return ((g_acc, loss_acc + bw * loss,
-                             mse_acc + bw * mse), (surv, num_active))
-
-                (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
-                    body, (zero_g, 0.0, 0.0),
-                    (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
-                     jnp.arange(B)))
+            (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
+                body, (zero_g, 0.0, 0.0),
+                (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
+                 jnp.arange(B)))
 
             new_params = params
             if train_orig:

@@ -228,7 +228,7 @@ class TestPackedSparse:
                         0.5 + 0.2 * np.cos(3 * y),
                         np.full_like(x, 0.5)], -1).astype(np.float32)
         s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 8),
-                 use_pallas="on")
+                 use_pallas="packed")
         assert s._compiled.pallas[2]              # packed active
         s.set_optimizer()
         l0, m0, *_ = s.run_batched(train=False)
