@@ -60,6 +60,21 @@ def quadratic_features(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([outer, x, ones], axis=-1)
 
 
+def dual_domain_features(coords_t: jnp.ndarray, coords_raw: jnp.ndarray,
+                         q: jnp.ndarray, model_mask: jnp.ndarray):
+    """Concatenated features for the dual-model video mode: per-kernel
+    domain selection folded into the quadratic-feature matmul.
+
+    Returns (phi2 (N, 2F), q2 (K, 2F)) with
+        phi2 @ q2^T == where(model_mask, phi_t @ q^T, phi_raw @ q^T).
+    """
+    phi2 = jnp.concatenate([quadratic_features(coords_t),
+                            quadratic_features(coords_raw)], axis=-1)
+    mm = model_mask.astype(q.dtype)[:, None]
+    q2 = jnp.concatenate([q * mm, q * (1.0 - mm)], axis=-1)
+    return phi2, q2
+
+
 def kernel_quadratics(B: jnp.ndarray, musX: jnp.ndarray) -> jnp.ndarray:
     """q_k = [vec(B_k), -2 B_k mu_k, mu_k^T B_k mu_k].  (K,d,d),(K,d) -> (K, d*d+d+1)."""
     k, d, _ = B.shape
@@ -88,14 +103,19 @@ def maha_from_A(A: jnp.ndarray, musX: jnp.ndarray, cfg: SmoeConfig,
     q = kernel_quadratics(B, musX)             # (K, F)
 
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else coords.dtype
-    phi = quadratic_features(coords)           # (N, F)
-    maha = jnp.dot(phi.astype(dt), q.T.astype(dt),
-                   preferred_element_type=jnp.float32)
     if coords_raw is not None and model_mask is not None:
-        phi_raw = quadratic_features(coords_raw)
-        maha_raw = jnp.dot(phi_raw.astype(dt), q.T.astype(dt),
-                           preferred_element_type=jnp.float32)
-        maha = jnp.where(model_mask[None, :], maha, maha_raw)
+        # dual-model: model-0 kernels gate on the motion-transformed
+        # domain, model-1 on the raw domain (reference smoe.py:796-805).
+        # Instead of two (N, K) matmuls + select, concatenate the feature
+        # maps and zero each kernel's unused half:
+        #   maha = [phi_t, phi_raw] @ [q*m, q*(1-m)]^T  — ONE matmul.
+        phi2, q2 = dual_domain_features(coords, coords_raw, q, model_mask)
+        maha = jnp.dot(phi2.astype(dt), q2.T.astype(dt),
+                       preferred_element_type=jnp.float32)
+    else:
+        phi = quadratic_features(coords)       # (N, F)
+        maha = jnp.dot(phi.astype(dt), q.T.astype(dt),
+                       preferred_element_type=jnp.float32)
     if not cfg.train_inverse_cov:
         # ||A^T (x-mu)||^2 >= 0 by construction in the reference
         # (smoe.py:796-797); the quadratic-feature form can go slightly
@@ -199,7 +219,9 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
                   coords: jnp.ndarray, kernel_mask: jnp.ndarray,
                   interpret: bool,
                   sv_add: Optional[jnp.ndarray] = None,
-                  packed: bool = False) -> ForwardOut:
+                  packed: bool = False,
+                  coords_raw: Optional[jnp.ndarray] = None,
+                  model_mask: Optional[jnp.ndarray] = None) -> ForwardOut:
     """Forward via the fused Pallas gate+expert kernel (training hot path).
 
     Numerically equivalent to gating() + expert_regression() with the
@@ -230,7 +252,13 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
         pi_det = jnp.where(mask, pis, 0.0)
 
     k, d, c = gamma_e.shape
-    phi = quadratic_features(coords)
+    if coords_raw is not None and model_mask is not None:
+        # dual-model video: fold the per-kernel domain select into the
+        # features (see dual_domain_features) — the fused kernels just see
+        # 2F-wide features.
+        phi, q = dual_domain_features(coords, coords_raw, q, model_mask)
+    else:
+        phi = quadratic_features(coords)
     if cfg.train_gammas:
         if cfg.only_y_gamma and cfg.use_yuv:
             chan_mask = jnp.zeros((c,), gamma_e.dtype).at[0].set(1.0)

@@ -127,13 +127,15 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         coords_in = coords_t
     else:
         coords_in = coords
-    if (fused[0] and model_mask is None and not cfg.train_inverse_cov
+    if (fused[0] and not cfg.train_inverse_cov
             and not (eff.motion is not None and cfg.train_trafo)):
         from smoe_tpu.core.model import forward_fused
         return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
                              eff.pis, cfg, coords_in, kernel_mask,
                              interpret=fused[1], sv_add=sv_add,
-                             packed=len(fused) > 2 and fused[2])
+                             packed=len(fused) > 2 and fused[2],
+                             coords_raw=coords_raw,
+                             model_mask=model_mask)
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)

@@ -124,3 +124,39 @@ def test_train_trafo_video_fits():
     assert np.isfinite(loss)
     # frame 0 motion params never move (reference smoe.py:1155-1158)
     np.testing.assert_array_equal(m_before[:, 0], m_after[:, 0])
+
+
+def test_dual_model_fused_matches_xla():
+    """The feature-concat dual-domain maha (one matmul) must match the
+    two-matmul + select XLA semantics, in both XLA and fused paths."""
+    import jax
+    from smoe_tpu.fit.trainer import _forward_eff, effective_params
+
+    vid, aff = make_video(h=8, w=8, t=3)
+    s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1)
+    eff = effective_params(s.params, s.cfg, s.musX_grid)
+    coords = s.bset.coords[0]
+    kmask = s.kernel_lists[0]
+
+    out_xla = _forward_eff(eff, s.cfg, coords, kmask, s.model_mask)
+    out_fused = _forward_eff(eff, s.cfg, coords, kmask, s.model_mask,
+                             fused=(True, True, False))
+    # both paths are exact up to float addition order; borderline pixels
+    # may flip one output-quantization step (1/255)
+    np.testing.assert_allclose(np.asarray(out_fused.res),
+                               np.asarray(out_xla.res),
+                               atol=1.01 / 255)
+    np.testing.assert_array_equal(np.asarray(out_fused.survivors),
+                                  np.asarray(out_xla.survivors))
+
+
+def test_dual_model_fused_training():
+    vid, aff = make_video(h=8, w=8, t=3)
+    s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1,
+             use_pallas="on")
+    s.set_optimizer()
+    l0, m0, *_ = s.run_batched(train=False)
+    for _ in range(10):
+        loss, mse, *_ = s.run_batched(train=True)
+    assert np.isfinite(loss)
+    assert mse < m0
