@@ -67,8 +67,11 @@ class SmoeConfig:
     kernel_count_as_norm_l1: bool = False
     train_svs: bool = False                  # support-vector residual (smoe.py:402-426)
     sv_threshold: float = 0.02               # thr_sv zeroing bound (smoe.py:404, 852)
-    compute_dtype: str = "float32"           # matmul dtype; "bfloat16" opt-in
-    use_pallas: str = "auto"                 # fused gate+expert kernel: auto/on/off
+    # matmul dtype; "bfloat16" opt-in. Measured on v5e: bf16 does NOT help
+    # (5.1 vs 4.4 ms/iter at 512^2) — the maha contraction is only F=8 wide
+    # so the matmul is cast-overhead-bound, and PSNR is unchanged.
+    compute_dtype: str = "float32"
+    use_pallas: str = "auto"                 # auto/on/off/packed (block-sparse)
 
     # ---- derived helpers ----
 

@@ -286,7 +286,8 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
             phi, xe, q, G, pi_det.astype(jnp.float32),
             mask.astype(jnp.float32),
             float(cfg.minimum_influence), float(DENOM_FLOOR),
-            int(coords.shape[0]), bool(interpret))
+            int(coords.shape[0]), bool(interpret),
+            cfg.compute_dtype == "bfloat16")
     if sv_add is not None:
         # SV residual on the Y channel, pre-clip (reference smoe.py:850-857)
         res_raw = res_raw.at[:, 0].add(sv_add)

@@ -83,13 +83,16 @@ def _pad_axis(x, axis: int, to: int):
 
 def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
                 res_ref, surv_ref, *, e_dim: int, c_dim: int, n_actual: int,
-                tile_n: int, thr: float, floor: float):
+                tile_n: int, thr: float, floor: float, bf16: bool):
     i = pl.program_id(0)
 
     phiT = phiT_ref[:]                        # (F, TN)
     qT = qT_ref[:]                            # (F, K)
     mask = mask_ref[:]                        # (1, K)
     pi_det = pi_det_ref[:]                    # (1, K)
+    if bf16:
+        phiT = phiT.astype(jnp.bfloat16)
+        qT = qT.astype(jnp.bfloat16)
 
     # maha[n, k] = sum_f phi[f, n] q[f, k], clamped >= 0 (the Cholesky form
     # ||A^T (x-mu)||^2 is non-negative; cancellation must not let
@@ -126,7 +129,7 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
 
 
 def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
-              n_actual, interpret):
+              n_actual, interpret, bf16):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
     k_pad = q.shape[0]
@@ -137,7 +140,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
 
     kern = functools.partial(
         _fwd_kernel, e_dim=e_dim, c_dim=c_dim, n_actual=n_actual,
-        tile_n=tn, thr=thr, floor=floor)
+        tile_n=tn, thr=thr, floor=floor, bf16=bf16)
     res, surv = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -176,7 +179,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
 
 def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
                 g_ref, dq_ref, dG_ref, dpi_ref, *, e_dim: int, c_dim: int,
-                thr: float, floor: float):
+                thr: float, floor: float, bf16: bool):
     i = pl.program_id(0)
 
     phiT = phiT_ref[:]
@@ -185,10 +188,12 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     pi_det = pi_det_ref[:]
     G = G_ref[:]
     g = g_ref[:]                              # (TN, C) cotangent of res
+    phiT_c = phiT.astype(jnp.bfloat16) if bf16 else phiT
+    qT_c = qT.astype(jnp.bfloat16) if bf16 else qT
 
     # --- recompute forward tile ---
     maha = jnp.maximum(jax.lax.dot_general(
-        phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
+        phiT_c, qT_c, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32), 0.0)
     e_term = jnp.exp(-0.5 * (maha * mask))    # (TN, K)
     n_w = e_term * pi_det
@@ -245,7 +250,7 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
 
 
 def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
-              interpret):
+              interpret, bf16):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
     k_pad = q.shape[0]
@@ -255,7 +260,7 @@ def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
     n_tiles = n_pad // tn
 
     kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,
-                             thr=thr, floor=floor)
+                             thr=thr, floor=floor, bf16=bf16)
     dq, dG, dpi = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -297,10 +302,11 @@ def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
 # public custom-vjp op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def fused_gate_expert(phi, xe, q, G, pi_det, mask,
                       thr: float, floor: float, n_actual: int,
-                      interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      interpret: bool,
+                      bf16: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused gate+expert forward.
 
     phi (N, F) quadratic features; xe (N, E) expert features; q (K, F)
@@ -310,7 +316,7 @@ def fused_gate_expert(phi, xe, q, G, pi_det, mask,
     Gradients flow to q, G, pi_det only (phi/xe treated as constants).
     """
     res, surv = _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor,
-                                n_actual, interpret)
+                                n_actual, interpret, bf16)
     return res, surv
 
 
@@ -333,24 +339,25 @@ def _prep(phi, xe, q, G, pi_det, mask):
 
 
 def _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
-                    interpret):
+                    interpret, bf16=False):
     n, _ = phi.shape
     k = q.shape[0]
     c_dim = G.shape[1] // xe.shape[1]
     phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
     res, surv = _fwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, thr=thr,
                           floor=floor, c_dim=c_dim, n_actual=n_actual,
-                          interpret=interpret)
+                          interpret=interpret, bf16=bf16)
     return res[:n], surv[0, :k]
 
 
-def _fused_fwd(phi, xe, q, G, pi_det, mask, thr, floor, n_actual, interpret):
+def _fused_fwd(phi, xe, q, G, pi_det, mask, thr, floor, n_actual, interpret,
+               bf16=False):
     out = _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor,
-                          n_actual, interpret)
+                          n_actual, interpret, bf16)
     return out, (phi, xe, q, G, pi_det, mask)
 
 
-def _fused_bwd(thr, floor, n_actual, interpret, residuals, cts):
+def _fused_bwd(thr, floor, n_actual, interpret, bf16, residuals, cts):
     phi, xe, q, G, pi_det, mask = residuals
     g_res, _ = cts                       # surv carries no gradient
     n, f = phi.shape
@@ -361,7 +368,7 @@ def _fused_bwd(thr, floor, n_actual, interpret, residuals, cts):
     g_pad = _pad_axis(g_res.astype(jnp.float32), 0, phiT.shape[1])
     dq, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
                             thr=thr, floor=floor, c_dim=c_dim,
-                            interpret=interpret)
+                            interpret=interpret, bf16=bf16)
     return (jnp.zeros_like(phi), jnp.zeros_like(xe),
             dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask))
 
