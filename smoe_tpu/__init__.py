@@ -20,6 +20,23 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: SMoE sweep programs take 40-240 s to
+# compile; caching makes repeat fits (benches, RD sweeps, decode) start in
+# seconds.  Respects an explicit JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+        _cache_dir = _os.path.join(_os.path.expanduser("~"), ".cache",
+                                   "smoe_tpu_jax")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           10.0)
+    except Exception:   # cache is best-effort; never block imports
+        pass
+
 from smoe_tpu.config import SmoeConfig  # noqa: F401
 from smoe_tpu.core.params import SmoeParams  # noqa: F401
 from smoe_tpu.core.model import smoe_forward  # noqa: F401

@@ -173,13 +173,37 @@ def initialize_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray,
     return update_kernel_lists(A, musX, pis, cfg, bset, lists)
 
 
+def probe_points(mins: jnp.ndarray, maxs: jnp.ndarray) -> jnp.ndarray:
+    """(B, d) min/max per block -> (B, 3^d, d) {min, max, mid} product
+    probe points (reference smoe.py:2332-2354)."""
+    d = mins.shape[1]
+    mids = 0.5 * (mins + maxs)
+    tt = jnp.stack([mins, maxs, mids], axis=-1)            # (B, d, 3)
+    idx = np.array(list(product(range(3), repeat=d)))      # (3^d, d)
+    return tt[:, np.arange(d)[None, :], idx]               # (B, 3^d, d)
+
+
 def update_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray, pis: jnp.ndarray,
                         cfg: SmoeConfig, bset: BlockSet,
-                        lists: jnp.ndarray) -> jnp.ndarray:
+                        lists: jnp.ndarray,
+                        probes: Optional[jnp.ndarray] = None,
+                        probes_raw: Optional[jnp.ndarray] = None,
+                        model_mask: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
     """OR in all active kernels whose maha to any block probe point < 800
-    (reference smoe.py:2287-2365)."""
-    B, P, d = bset.probes.shape
-    maha = maha_from_A(A, musX, cfg, bset.probes.reshape(B * P, d))
+    (reference smoe.py:2287-2365).
+
+    probes: override probe points (motion-transformed domain for video,
+    reference smoe.py:2292-2317); probes_raw + model_mask route dual-model
+    kernels to their own domain's probes.
+    """
+    pr = bset.probes if probes is None else probes
+    B, P, d = pr.shape
+    maha = maha_from_A(
+        A, musX, cfg, pr.reshape(B * P, d),
+        coords_raw=None if probes_raw is None
+        else probes_raw.reshape(B * P, d),
+        model_mask=model_mask)
     maha = maha.reshape(B, P, A.shape[0])
     near = jnp.any(maha < MAHA_PROBE_THRESHOLD, axis=1)    # (B, K)
     active = pis > 0

@@ -619,8 +619,16 @@ class Smoe:
         self.inc_opt_state = None
 
         eff0 = effective_params(self.params, cfg, self.musX_grid)
-        self.kernel_lists = initialize_kernel_lists(
-            eff0.A, eff0.musX, eff0.pis, cfg, self.bset)
+        if self.model_mask is not None or (cfg.dim_domain == 3
+                                           and cfg.train_trafo):
+            # motion-compensated video starts with all-on lists (reference
+            # smoe.py:314-317); raw-domain center assignment would be wrong
+            # for kernels living on the t=-5 motion plane
+            self.kernel_lists = jnp.ones(
+                (int(self.bset.coords.shape[0]), cfg.capacity), bool)
+        else:
+            self.kernel_lists = initialize_kernel_lists(
+                eff0.A, eff0.musX, eff0.pis, cfg, self.bset)
         nb = int(np.prod(self.bset.block_padded))
         self.sampling_probs = jnp.full(
             (self.start_batches, nb), 1.0 / nb, jnp.float32)
@@ -770,10 +778,26 @@ class Smoe:
 
     def update_kernel_list(self, *_):
         """Probe block corners/edges, OR into the lists
-        (reference smoe.py:2287-2365)."""
-        eff = effective_params(self.params, self.cfg, self.musX_grid)
+        (reference smoe.py:2287-2365).  For motion-compensated video the
+        probe boxes are recomputed from the CURRENT (quantized) motion
+        params (reference smoe.py:2292-2317); dual-model kernels are probed
+        against their own domain via the model mask."""
+        cfg = self.cfg
+        eff = effective_params(self.params, cfg, self.musX_grid)
+        probes = probes_raw = None
+        if eff.motion is not None and cfg.dim_domain == 3:
+            B, Nb, d = self.bset.coords.shape
+            tc = transform_coords(
+                self.bset.coords.reshape(-1, d), eff.motion,
+                cfg.num_params_model, cfg.num_frames).reshape(B, Nb, d)
+            from smoe_tpu.fit.blocks import probe_points
+            probes = probe_points(tc.min(axis=1), tc.max(axis=1))
+            if self.model_mask is not None:
+                probes_raw = self.bset.probes
         self.kernel_lists = update_kernel_lists(
-            eff.A, eff.musX, eff.pis, self.cfg, self.bset, self.kernel_lists)
+            eff.A, eff.musX, eff.pis, cfg, self.bset, self.kernel_lists,
+            probes=probes, probes_raw=probes_raw,
+            model_mask=self.model_mask if probes_raw is not None else None)
 
     def _eff_from_rparams(self) -> EffParams:
         """Scatter the reduced dequantized params back into full-capacity

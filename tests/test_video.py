@@ -160,3 +160,20 @@ def test_dual_model_fused_training():
         loss, mse, *_ = s.run_batched(train=True)
     assert np.isfinite(loss)
     assert mse < m0
+
+
+def test_update_kernel_list_uses_motion_probes():
+    """Kernel-list probing must evaluate motion-plane (t=-5) kernels against
+    the TRANSFORMED domain — raw probes would never reach them
+    (reference smoe.py:2292-2317)."""
+    vid, aff = make_video(h=8, w=8, t=3)
+    s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1)
+    # wipe the lists, then refresh via probes only
+    s.kernel_lists = jnp.zeros_like(s.kernel_lists)
+    s.update_kernel_list()
+    lists = np.asarray(s.kernel_lists)
+    m0 = np.asarray(s.model_mask)[: s.cfg.start_pis]
+    pis = np.asarray(s.params.pis)[: s.cfg.start_pis]
+    live_m0 = m0 & (pis > 0)
+    # every live motion-plane kernel must be reachable in some block
+    assert np.all(lists[:, : s.cfg.start_pis][:, live_m0].any(axis=0))
