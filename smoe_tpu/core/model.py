@@ -135,13 +135,18 @@ def mahalanobis(params: SmoeParams, cfg: SmoeConfig, coords: jnp.ndarray,
 
 
 def gating(maha: jnp.ndarray, pis: jnp.ndarray, diag_A: jnp.ndarray,
-           cfg: SmoeConfig, kernel_mask: jnp.ndarray) -> jnp.ndarray:
+           cfg: SmoeConfig, kernel_mask: jnp.ndarray,
+           kernel_axis: Optional[str] = None) -> jnp.ndarray:
     """Softmax-like gating with influence culling.  (N,K) -> (N,K).
 
     Reference smoe.py:807-827:
         N    = exp(-0.5 maha) [* prod(diag A)/sqrt((2 pi)^d)]
         w    = pi * N / max(1e-11, sum(pi * N))
         w    = w * (w > 0.5/2^precision)
+
+    kernel_axis: mesh axis name when K is sharded (tensor/expert
+    parallelism).  The denominator is the ONLY cross-shard reduction in the
+    gating (SURVEY §2.2 TP row); it becomes one psum over that axis.
     """
     mask = kernel_mask & (pis > 0)
     # Mask inside the exp so dead kernels with garbage params can never
@@ -153,7 +158,10 @@ def gating(maha: jnp.ndarray, pis: jnp.ndarray, diag_A: jnp.ndarray,
         n_quo = n_div / np.sqrt((2.0 * np.pi) ** cfg.dim_domain)
         n_exp = n_exp * n_quo[None, :]
     n_w = n_exp * jnp.where(mask, pis, 0.0)[None, :]
-    denom = jnp.maximum(DENOM_FLOOR, jnp.sum(n_w, axis=1, keepdims=True))
+    denom = jnp.sum(n_w, axis=1, keepdims=True)
+    if kernel_axis is not None:
+        denom = jax.lax.psum(denom, kernel_axis)     # <- TP/EP collective
+    denom = jnp.maximum(DENOM_FLOOR, denom)
     w_e = n_w / denom
     w_e = w_e * (w_e > cfg.minimum_influence)
     return w_e
@@ -161,11 +169,15 @@ def gating(maha: jnp.ndarray, pis: jnp.ndarray, diag_A: jnp.ndarray,
 
 def expert_regression(w_e: jnp.ndarray, coords: jnp.ndarray,
                       nu_e: jnp.ndarray, gamma_e: jnp.ndarray,
-                      cfg: SmoeConfig) -> jnp.ndarray:
+                      cfg: SmoeConfig,
+                      kernel_axis: Optional[str] = None) -> jnp.ndarray:
     """res[n,c] = sum_k w[n,k] (gamma_k^T x_n + nu_k).  Reference smoe.py:840-848.
 
     Implemented as (N,K)@(K,C) + sum_d x_d * ((N,K)@(K,dC) reshaped), i.e. two
     MXU matmuls, no (N,K,C) intermediate.
+
+    kernel_axis: mesh axis name when K is sharded — each shard contributes a
+    partial expert sum, reduced with one psum.
     """
     k, d, c = gamma_e.shape
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else w_e.dtype
@@ -179,6 +191,8 @@ def expert_regression(w_e: jnp.ndarray, coords: jnp.ndarray,
         g = jnp.dot(w_e.astype(dt), gamma_e.reshape(k, d * c).astype(dt),
                     preferred_element_type=jnp.float32).reshape(-1, d, c)
         res = res + jnp.einsum("nd,ndc->nc", coords, g)
+    if kernel_axis is not None:
+        res = jax.lax.psum(res, kernel_axis)         # <- partial expert sums
     return res
 
 

@@ -220,11 +220,18 @@ class _Compiled:
     """Holds the jitted sweep functions for one Smoe instance."""
 
     def __init__(self, cfg: SmoeConfig, bset: BlockSet, opt_cfg: OptConfig,
-                 num_pixel: int):
+                 num_pixel: int, mesh=None):
         self.cfg = cfg
         self.bset = bset
         self.opt_cfg = opt_cfg
         self.num_pixel = num_pixel
+        self.mesh = mesh
+        if mesh is not None:
+            nb_dev = mesh.shape["b"]
+            B = int(bset.coords.shape[0])
+            assert B % nb_dev == 0, (
+                f"{B} blocks do not divide over the {nb_dev}-way 'b' mesh "
+                f"axis; choose start_batches as a multiple of the mesh size")
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
         from smoe_tpu.core.model import resolve_pallas
         # The packed (block-sparse) kernel variant is opt-in
@@ -366,19 +373,28 @@ class _Compiled:
 
         grad_fn = jax.value_and_grad(loss_for_block, has_aux=True)
 
-        def one_sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
-                      musX_grid, model_mask, probs, rng, thr_sv):
-            B = bset.coords.shape[0]
-            rngs = jax.random.split(rng, B)
-            nb_pix = bset.coords.shape[1]
-            lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
-                else jnp.zeros((B, nb_pix))
+        mesh = self.mesh
 
+        def sweep_grads(params, coords_all, targets_all, klists, lw_xs, reg,
+                        musX_grid, model_mask, probs, rngs, bidxs, thr_sv):
+            """Grad accumulation over (this device's share of) the blocks.
+
+            Runs directly single-device; under shard_map over the 'b' mesh
+            axis each device scans its local blocks only — the TPU-native
+            version of the reference's block-sequential gradient
+            accumulation (smoe.py:1145-1151, 1785-1790).
+            """
             # NOTE (measured on v5e, 1080p, 16 blocks, K=576): the
             # sequential scan beats a vmapped whole-sweep variant (151 vs
             # 396 ms/iter) — vmap materializes every block's padded
             # phi/xe/residuals in HBM at once while the scan streams them.
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            zero_s = jnp.float32(0.0)
+            if mesh is not None:
+                from smoe_tpu.parallel.compat import pvary
+                zero_g = jax.tree_util.tree_map(
+                    lambda x: pvary(x, "b"), zero_g)
+                zero_s = pvary(zero_s, "b")
 
             def body(carry, xs):
                 g_acc, loss_acc, mse_acc = carry
@@ -391,10 +407,40 @@ class _Compiled:
                 return ((g_acc, loss_acc + bw * loss,
                          mse_acc + bw * mse), (surv, num_active))
 
-            (grads, loss, mse), (survivors, num_active) = jax.lax.scan(
-                body, (zero_g, 0.0, 0.0),
-                (bset.coords, bset.targets, klists, lw_xs, probs, rngs,
-                 jnp.arange(B)))
+            (grads, loss, mse), (survivors, _) = jax.lax.scan(
+                body, (zero_g, zero_s, zero_s),
+                (coords_all, targets_all, klists, lw_xs, probs, rngs, bidxs))
+            if mesh is not None:
+                # gradient accumulation across the block shards (SP/DP
+                # collective; SURVEY §2.2 SP row)
+                grads = jax.lax.psum(grads, "b")
+                loss = jax.lax.psum(loss, "b")
+                mse = jax.lax.psum(mse, "b")
+            return grads, loss, mse, survivors
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from smoe_tpu.parallel.compat import shard_map as _shard_map
+            sweep_all = _shard_map(
+                sweep_grads, mesh=mesh,
+                in_specs=(P(), P("b"), P("b"), P("b"), P("b"), P(), P(),
+                          P(), P("b"), P("b"), P("b"), P()),
+                out_specs=(P(), P(), P(), P("b")))
+        else:
+            sweep_all = sweep_grads
+
+        def one_sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
+                      musX_grid, model_mask, probs, rng, thr_sv,
+                      coords_all, targets_all):
+            B = coords_all.shape[0]
+            rngs = jax.random.split(rng, B)
+            nb_pix = coords_all.shape[1]
+            lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
+                else jnp.zeros((B, nb_pix))
+
+            grads, loss, mse, survivors = sweep_all(
+                params, coords_all, targets_all, klists, lw_xs, reg,
+                musX_grid, model_mask, probs, rngs, jnp.arange(B), thr_sv)
 
             new_params = params
             if train_orig:
@@ -423,13 +469,15 @@ class _Compiled:
             return new_params, opt_state, inc_opt_state, metrics
 
         def multi(params, opt_state, inc_opt_state, klists, loss_w, reg,
-                  musX_grid, model_mask, probs, rng, thr_sv):
+                  musX_grid, model_mask, probs, rng, thr_sv,
+                  coords_all, targets_all):
             def body(carry, _):
                 params, opt_state, inc_opt_state, klists, rng = carry
                 rng, sub = jax.random.split(rng)
                 p, o, io, m = one_sweep(params, opt_state, inc_opt_state,
                                         klists, loss_w, reg, musX_grid,
-                                        model_mask, probs, sub, thr_sv)
+                                        model_mask, probs, sub, thr_sv,
+                                        coords_all, targets_all)
                 return ((p, o, io, m.survivors, rng),
                         (m.loss, m.mse, m.num_pi, m.num_sv))
 
@@ -538,7 +586,15 @@ class Smoe:
                  affines: Optional[np.ndarray] = None,
                  init_flag: float = 1,
                  iter_offset: int = 0,
+                 mesh=None,
                  **cfg_overrides):
+        """mesh: optional jax.sharding.Mesh with a 'b' axis.  When given, the
+        FULL training semantics (QAT, SSIM, SV, motion, kernel-list refresh,
+        best-snapshot) run multi-chip: the block axis is sharded over 'b'
+        via shard_map around the same per-block loss, with one psum for the
+        accumulated gradients (SURVEY §2.2 SP row).  Params stay replicated
+        (they are tiny next to the pixel data); requires the block count to
+        be a multiple of the 'b' axis size."""
         image = np.asarray(image, np.float32)
         dim = image.ndim - 1
         if cfg is None:
@@ -620,8 +676,16 @@ class Smoe:
             self.loss_mask = jnp.asarray(
                 _block_view(lm.astype(np.float32), cfg.block_shape, 0)[..., 0])
 
+        self.mesh = mesh
+        self._coords_dev = self.bset.coords
+        self._targets_dev = self.bset.targets
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh_b = NamedSharding(mesh, P("b"))
+            self._coords_dev = jax.device_put(self.bset.coords, sh_b)
+            self._targets_dev = jax.device_put(self.bset.targets, sh_b)
         self._compiled = _Compiled(cfg, self.bset, self.opt_cfg,
-                                   self.num_pixel)
+                                   self.num_pixel, mesh=mesh)
         self.opt_state = None
         self.inc_opt_state = None
 
@@ -678,7 +742,7 @@ class Smoe:
                 else self.opt_cfg
         self.opt_cfg = opt_cfg
         self._compiled = _Compiled(self.cfg, self.bset, opt_cfg,
-                                   self.num_pixel)
+                                   self.num_pixel, mesh=self.mesh)
         self.opt_state = self._compiled.tx_main.init(self.params)
         self.inc_opt_state = self._compiled.tx_inc.init(self.params)
 
@@ -718,7 +782,7 @@ class Smoe:
          ys) = fn(self.params, self.opt_state, self.inc_opt_state,
                   self.kernel_lists, lw, reg, self.musX_grid,
                   self.model_mask, self.sampling_probs, self._next_rng(),
-                  tsv)
+                  tsv, self._coords_dev, self._targets_dev)
         self.valid = False
         return tuple(np.asarray(y) for y in ys)
 

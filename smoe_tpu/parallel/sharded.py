@@ -33,9 +33,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smoe_tpu.config import SmoeConfig
 from smoe_tpu.core import losses as Lo
-from smoe_tpu.core.model import (DENOM_FLOOR, kernel_quadratics,
-                                 quadratic_features, fake_quant_unit)
-from smoe_tpu.core.params import SmoeParams
+from smoe_tpu.core.model import (expert_regression, fake_quant_unit, gating,
+                                 maha_from_A)
+from smoe_tpu.core.params import SmoeParams, assemble_A
 from smoe_tpu.core.quant import apply_qat
 
 
@@ -63,42 +63,18 @@ def _param_specs(params: SmoeParams) -> SmoeParams:
 
 def _sharded_forward(eff: SmoeParams, cfg: SmoeConfig, coords: jnp.ndarray,
                      kmask: jnp.ndarray, kernel_axis: str):
-    """Forward with the kernel axis sharded: psum for gating denominator and
-    partial expert sums."""
-    # assemble A on the local shard
-    from smoe_tpu.core.params import assemble_A
+    """Forward with the kernel axis sharded.
+
+    Built entirely from the canonical math in core/model.py — maha on the
+    local K shard, then gating/expert_regression with kernel_axis set (one
+    psum each for the gating denominator and the partial expert sums).
+    """
     A = assemble_A(eff, cfg)
-    if cfg.train_inverse_cov:
-        B = A
-    else:
-        B = jnp.einsum("klm,knm->kln", A, A)
-    q = kernel_quadratics(B, eff.musX)
-    phi = quadratic_features(coords)
-    maha = jnp.dot(phi, q.T, preferred_element_type=jnp.float32)
-    if not cfg.train_inverse_cov:
-        maha = jnp.maximum(maha, 0.0)   # see core/model.py maha_from_A
-
-    mask = kmask & (eff.pis > 0)
-    n_exp = jnp.exp(-0.5 * jnp.where(mask[None, :], maha, 0.0))
-    if cfg.use_determinant:
-        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
-        n_quo = jnp.prod(diag_A, axis=-1) / np.sqrt(
-            (2.0 * np.pi) ** cfg.dim_domain)
-        n_exp = n_exp * n_quo[None, :]
-    n_w = n_exp * jnp.where(mask, eff.pis, 0.0)[None, :]
-    denom_local = jnp.sum(n_w, axis=1, keepdims=True)
-    denom = jax.lax.psum(denom_local, kernel_axis)          # <- TP collective
-    denom = jnp.maximum(DENOM_FLOOR, denom)
-    w_e = n_w / denom
-    w_e = w_e * (w_e > cfg.minimum_influence)
-
-    k, d, c = eff.gamma_e.shape
-    res = jnp.dot(w_e, eff.nu_e, preferred_element_type=jnp.float32)
-    if cfg.train_gammas:
-        g = jnp.dot(w_e, eff.gamma_e.reshape(k, d * c),
-                    preferred_element_type=jnp.float32).reshape(-1, d, c)
-        res = res + jnp.einsum("nd,ndc->nc", coords, g)
-    res = jax.lax.psum(res, kernel_axis)                    # <- partial sums
+    maha = maha_from_A(A, eff.musX, cfg, coords)
+    diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+    w_e = gating(maha, eff.pis, diag_A, cfg, kmask, kernel_axis=kernel_axis)
+    res = expert_regression(w_e, coords, eff.nu_e, eff.gamma_e, cfg,
+                            kernel_axis=kernel_axis)
     res = jnp.clip(res, 0.0, 1.0)
     res = fake_quant_unit(res, cfg.precision)
     survivors = jnp.any(w_e > cfg.minimum_influence, axis=0)
@@ -121,6 +97,11 @@ def make_sharded_train_step(cfg: SmoeConfig, mesh: Mesh, tx,
     (gradient accumulation across the block axis), then the Adam update on
     the kernel shards.
     """
+    assert cfg.quantization_mode != 3, (
+        "the kernel-sharded TP step does not support QAT mode 3 "
+        "(data-derived min/max need a global reduction over K); use the "
+        "full trainer's mesh mode (Smoe(mesh=...)), which keeps params "
+        "replicated")
 
     def device_fn(params, coords, targets, klists, pis_l1, u_l1):
         def block_loss(p, c_blk, t_blk, kmask):
@@ -149,15 +130,10 @@ def make_sharded_train_step(cfg: SmoeConfig, mesh: Mesh, tx,
             return (g_acc, loss_acc + block_weight * loss,
                     mse_acc + block_weight * mse), None
 
-        def _vary(x):
-            try:
-                return jax.lax.pcast(x, ("b",), to="varying")
-            except AttributeError:  # older jax
-                return jax.lax.pvary(x, ("b",))
-
+        from smoe_tpu.parallel.compat import pvary
         zero_g = jax.tree_util.tree_map(
-            lambda x: _vary(jnp.zeros_like(x)), params)
-        zero_s = _vary(jnp.float32(0.0))
+            lambda x: pvary(jnp.zeros_like(x), "b"), params)
+        zero_s = pvary(jnp.float32(0.0), "b")
         (grads, loss, mse), _ = jax.lax.scan(
             body, (zero_g, zero_s, zero_s), (coords, targets, klists))
 

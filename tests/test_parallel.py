@@ -104,6 +104,67 @@ class TestShardedStep:
         assert np.isfinite(losses).all()
 
 
+class TestMeshTrainer:
+    """Full-semantics `Smoe` training sharded over the block axis: the SAME
+    `_block_loss` (QAT, kernel lists, regularizers, best-snapshot) under
+    shard_map — not a simplified side path."""
+
+    def _img(self):
+        y, x = np.mgrid[0:32, 0:32] / 31.0
+        return np.stack([.5 + .3 * np.sin(5 * x),
+                         .5 + .3 * np.cos(4 * y + 2 * x),
+                         .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+
+    def _fit(self, mesh, base_lr):
+        from smoe_tpu.config import OptConfig
+        from smoe_tpu.fit.trainer import Smoe
+        s = Smoe(self._img(), kernels_per_dim=[4], batch_size=(8, 8),
+                 quantization_mode=3, mesh=mesh)   # 16 blocks, QAT-3
+        s.set_optimizer(OptConfig(base_lr=base_lr))
+        return s
+
+    def test_sweep_accumulation_matches_single_device(self):
+        """Zero-LR sweep (pure forward + grad accumulation + regularizers)
+        must agree with single-device to float-reduction noise."""
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        vals = []
+        for m in (None, mesh):
+            s = self._fit(m, base_lr=0.0)
+            loss, mse, *_ = s.run_batched_chunk(1, pis_l1=1e-4, u_l1=1e-6)
+            vals.append((float(loss[0]), float(mse[0])))
+        np.testing.assert_allclose(vals[0][0], vals[1][0], rtol=1e-6)
+        np.testing.assert_allclose(vals[0][1], vals[1][1], rtol=1e-6)
+
+    def test_train_matches_single_device(self):
+        """Short QAT-3 fit with kernel lists + nonzero regularizers: the
+        sharded trainer must track the single-device trainer (tolerance
+        covers Adam's amplification of reduction-order float noise)."""
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        runs = []
+        for m in (None, mesh):
+            s = self._fit(m, base_lr=1e-3)
+            s.train(40, val_iter=20, pis_l1=1e-4, u_l1=1e-6)
+            runs.append(s)
+        l1, l2 = runs[0].losses[-1][1], runs[1].losses[-1][1]
+        m1, m2 = runs[0].mses[-1][1], runs[1].mses[-1][1]
+        np.testing.assert_allclose(l1, l2, rtol=0.05)
+        np.testing.assert_allclose(m1, m2, rtol=0.05)
+        assert runs[1].best_params is not None
+        # kernel lists were actually refreshed (not all-on) on both paths
+        assert not bool(np.all(np.asarray(runs[1].kernel_lists)))
+
+    def test_mesh_eval_and_reconstruction(self):
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        s = self._fit(mesh, base_lr=1e-3)
+        s.run_batched_chunk(10)
+        loss, mse, npi, _ = s.run_batched(train=False,
+                                          update_reconstruction=True)
+        assert np.isfinite(loss) and np.isfinite(mse)
+        rec = s.get_reconstruction()
+        assert rec.shape == self._img().shape
+        assert np.isfinite(rec).all()
+
+
 class TestDataParallel:
     def test_fit_many_images(self):
         rng = np.random.default_rng(3)
