@@ -172,7 +172,7 @@ def main(args=None):
         from smoe_tpu.io.images import write_image
         out = write_image(smoe.get_reconstruction(),
                           os.path.join(args.results_path, "reconstruction"),
-                          dim := orig.ndim - 1, yuv=use_yuv)
+                          orig.ndim - 1, yuv=use_yuv)
         print(f"wrote {out}")
         return smoe
 

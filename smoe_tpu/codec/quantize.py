@@ -8,8 +8,8 @@ Numerically mirrors reference quantizer.py:4-145:
   * rescaler reassembles the steering factor A = diag + corr and re-adds the
     grid offsets when use_diff_center
 
-Runs in numpy on host (these are tiny K-sized arrays); `quantize_params_jax`
-offers the same math on-device for RD sweeps without host round-trips.
+Runs in numpy on host (these are tiny K-sized arrays, a few KB — the
+device round-trip is cheaper than keeping the RD bookkeeping on-chip).
 """
 
 from __future__ import annotations

@@ -40,7 +40,7 @@ class BlockSet(NamedTuple):
     block_valued: Tuple[int, ...]      # block size per dim without overlap
     block_padded: Tuple[int, ...]      # block size per dim with 2*overlap
     overlap: int
-    train_mask: Optional[jnp.ndarray] = None   # (Nb,) bool (4D LF corner views)
+    train_mask: Optional[jnp.ndarray] = None   # (B, Nb) bool (LF corner views)
 
 
 def _block_view(arr: np.ndarray, bs: Tuple[int, ...], ov: int) -> np.ndarray:
@@ -102,10 +102,11 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
 
     train_mask = None
     if d >= 4:
-        train_mask = jnp.asarray(
-            _lf_train_mask(spatial)[..., None], dtype=bool
-        ).reshape(-1) if np.prod(bs) == np.prod(spatial) else None
-        # (block-partitioned LF would need per-block masks; global fit typical)
+        # per-block corner-view mask: blocked exactly like the pixel data so
+        # a block-partitioned LF fit excludes the same views as a global fit
+        # (reference masks the loss regardless of batching, smoe.py:902-904)
+        tm = _lf_train_mask(spatial)[..., None].astype(np.float32)
+        train_mask = jnp.asarray(_block_view(tm, bs, ov)[..., 0] > 0.5)
 
     return BlockSet(
         coords=jnp.asarray(coords, jnp.float32),

@@ -343,8 +343,8 @@ class _Compiled:
             lw = lw if use_loss_mask else None
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
-                valid = bset.train_mask if valid is None \
-                    else valid & bset.train_mask
+                tm = bset.train_mask[bidx]        # this block's view mask
+                valid = tm if valid is None else valid & tm
             sv_blk = None
             if with_sv:
                 off = bidx * nb
@@ -514,8 +514,8 @@ class _Compiled:
                                sv_add=sv_add if with_sv else None)
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
-                valid = bset.train_mask if valid is None \
-                    else valid & bset.train_mask
+                tm = bset.train_mask[bidx]        # this block's view mask
+                valid = tm if valid is None else valid & tm
             la = L.pixel_loss(out.res, targets, cfg, lw, valid)
             if cfg.ssim_opt:
                 c = targets.shape[-1]

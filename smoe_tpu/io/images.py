@@ -7,8 +7,8 @@ Mirrors reference utils.py:68-162:
   precision in {8,16}, affines or None).
   write_image: PNG / raw .yuv I420 video / .mat light field.
 
-hdf5storage is not available in this image; light-field .mat files are
-handled through scipy.io (v7-) with a clear error for v7.3 files.
+Light-field .mat files are handled through scipy.io (v7 and earlier) with
+an h5py fallback for MATLAB v7.3 (HDF5) containers.
 """
 
 from __future__ import annotations
@@ -70,10 +70,19 @@ def read_image(path: str, use_yuv: bool = True
         from scipy.io import loadmat
         try:
             lf = loadmat(path)["LF"]
-        except NotImplementedError as e:
-            raise ValueError(
-                "v7.3 .mat light fields need hdf5 support; convert with "
-                "scipy.io.savemat(..., do_compression=True) first") from e
+        except NotImplementedError:
+            # MATLAB v7.3 is an HDF5 container (the reference reads these
+            # via hdf5storage, utils.py:104-110).  h5py returns MATLAB's
+            # column-major layout with the axes reversed; transpose()
+            # restores the (U, V, H, W, C) order.
+            try:
+                import h5py
+            except ImportError as e:
+                raise ValueError(
+                    "v7.3 .mat light fields need h5py; convert with "
+                    "scipy.io.savemat(..., do_compression=True) first") from e
+            with h5py.File(path, "r") as f:
+                lf = np.asarray(f["LF"]).transpose()
         orig = lf[..., 0:3]
         if use_yuv:
             import cv2

@@ -38,6 +38,34 @@ def test_lf_blockset_carries_mask():
     assert 0.8 < frac < 1.0           # some views masked, most kept
 
 
+def test_lf_blocked_mask_excludes_corner_views():
+    """Block-partitioned LF fit: pixels in masked (corner) views must not
+    affect the loss or the gradients (reference smoe.py:902-904 masks the
+    loss regardless of batching)."""
+    from smoe_tpu.fit.blocks import _lf_train_mask
+    lf = make_lf()
+    lf2 = lf.copy()
+    mask = _lf_train_mask(lf.shape[:4])
+    lf2[~mask] = 0.93                      # corrupt ONLY excluded views
+
+    def fit_one_step(img):
+        # 4 blocks: split the view axes so corner views land in different
+        # blocks than the center
+        s = Smoe(img, kernels_per_dim=[2, 2, 2, 2], use_yuv=False,
+                 batch_size=(5, 15, 6, 6))
+        s.set_optimizer()
+        l0, m0, *_ = s.run_batched(train=False)
+        s.run_batched_chunk(1)
+        return l0, s.get_params()
+
+    l1, p1 = fit_one_step(lf)
+    l2, p2 = fit_one_step(lf2)
+    assert lf.shape[0] % 5 == 0
+    np.testing.assert_allclose(l1, l2, rtol=0, atol=0)
+    for k in p1:
+        np.testing.assert_array_equal(p1[k], p2[k])
+
+
 def test_lf_fit_end_to_end():
     lf = make_lf()
     s = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False)
@@ -60,3 +88,30 @@ def test_lf_mat_io_roundtrip(tmp_path):
     assert back.shape == lf3.shape
     assert precision == 8
     np.testing.assert_allclose(back, lf3, atol=1.5 / 255)
+
+
+def test_lf_mat_v73_read(tmp_path):
+    """MATLAB v7.3 (HDF5) light fields read via the h5py fallback
+    (reference reads these with hdf5storage, utils.py:104-110)."""
+    h5py = pytest.importorskip("h5py")
+    lf = np.repeat(make_lf(c=1), 3, axis=-1)
+    lf8 = np.round(lf * 255).astype(np.uint8)
+    path = str(tmp_path / "lf73.mat")
+    # genuine v7.3 layout: 512-byte MATLAB userblock + HDF5 payload with
+    # column-major (reversed) axes — scipy.io.loadmat must refuse it with
+    # NotImplementedError so read_image takes the h5py path.
+    with h5py.File(path, "w", userblock_size=512) as f:
+        f["LF"] = lf8.transpose()
+    header = b"MATLAB 7.3 MAT-file, written by smoe_tpu tests"
+    block = header + b" " * (124 - len(header)) \
+        + np.uint16(0x0200).tobytes() + b"IM"
+    with open(path, "r+b") as fd:
+        fd.write(block)
+    from scipy.io import loadmat
+    with pytest.raises(NotImplementedError):
+        loadmat(path)
+    from smoe_tpu.io.images import read_image
+    back, precision, _ = read_image(path, use_yuv=False)
+    assert back.shape == lf8.shape
+    assert precision == 8
+    np.testing.assert_allclose(back, lf8.astype(np.float32) / 255.0)
