@@ -4,7 +4,11 @@ Sweeps the pi-L1 sparsifier to trade kernels for quality, measuring the
 REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
-Usage: python scripts/rd_curve.py [image.png] [iters]
+Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
+
+--dp: fit all RD points concurrently via the data-parallel fan-out
+(parallel/sharded.py fit_many, SURVEY §2.2 DP row) — one model per device
+when >1 device is available, vmapped on one otherwise.
 """
 
 import json
@@ -23,26 +27,22 @@ def main():
     from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
     from smoe_tpu.io.images import read_image
 
-    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
-        img, precision, _ = read_image(sys.argv[1])
-        iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    argv = [a for a in sys.argv[1:] if a != "--dp"]
+    use_dp = "--dp" in sys.argv[1:]
+    if argv and not argv[0].isdigit():
+        img, precision, _ = read_image(argv[0])
+        iters = int(argv[1]) if len(argv) > 1 else 1000
     else:
         from bench import build_image
         img = build_image(256)
         precision = 8
-        iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+        iters = int(argv[0]) if argv else 1000
 
     n_pix = int(np.prod(img.shape[:-1]))
-    points = []
-    for pis_l1 in (0.0, 1e-5, 1e-4, 5e-4):
-        s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
-                 precision=precision)
-        s.set_optimizer()
-        chunk = 100
-        for i in range(iters // chunk):
-            s.run_batched_chunk(chunk, pis_l1=pis_l1)
-            s.update_kernel_list()
+    pis_vals = (0.0, 1e-5, 1e-4, 5e-4)
 
+    def measure(s, pis_l1):
+        """Quantize -> entropy-code -> decoded PSNR of s.params."""
         s.qparams = quantize_params(s.get_params(), s.cfg)
         s.rparams = rescaler(s.qparams, s.cfg)
         _, qmse, npi, _ = s.run_batched(train=False,
@@ -55,8 +55,39 @@ def main():
               "bpp": round(bits / n_pix, 4),
               "bpp_raw_proxy": round(rate_bits(s.qparams, s.cfg) / n_pix, 4),
               "qpsnr_db": round(float(qpsnr), 2)}
-        points.append(pt)
         print(json.dumps(pt), flush=True)
+        return pt
+
+    points = []
+    if use_dp:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from smoe_tpu.parallel.sharded import fit_many
+
+        s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
+                 precision=precision)
+        devs = jax.devices()
+        mesh = Mesh(np.asarray(devs[:len(pis_vals)]), ("m",)) \
+            if len(devs) >= len(pis_vals) else None
+        imgs = np.repeat(img[None], len(pis_vals), axis=0)
+        batched, _ = fit_many(imgs, s.cfg, steps=iters, mesh=mesh,
+                              pis_l1=np.asarray(pis_vals, np.float32))
+        for i, pis_l1 in enumerate(pis_vals):
+            s.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x[i]),
+                                              batched)
+            s.valid = s.qvalid = False
+            points.append(measure(s, pis_l1))
+    else:
+        for pis_l1 in pis_vals:
+            s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
+                     precision=precision)
+            s.set_optimizer()
+            chunk = 100
+            for i in range(iters // chunk):
+                s.run_batched_chunk(chunk, pis_l1=pis_l1)
+                s.update_kernel_list()
+            points.append(measure(s, pis_l1))
 
     print(json.dumps({"metric": "rd_curve", "points": points}))
 

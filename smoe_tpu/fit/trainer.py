@@ -212,6 +212,42 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
     return loss, (mse, out.survivors, err_map, num_active)
 
 
+def make_tx(cfg: SmoeConfig, opt_cfg: OptConfig, inc: bool = False):
+    """optax multi_transform mirroring the reference's 5-optimizer rig
+    (reference smoe_test.py:84-97, smoe.py:1079-1204): per-group Adam LRs
+    for {nu, gamma, musX}, {pis}, {A}, {SV}, {motion}, optional |g| clip."""
+    oc = opt_cfg
+
+    def adam_or_zero(lr, enabled=True):
+        chain = []
+        if oc.grad_clip_value_abs is not None:
+            chain.append(optax.clip(oc.grad_clip_value_abs))
+        chain.append(optax.adam(lr) if (enabled and lr != 0)
+                     else optax.set_to_zero())
+        return optax.chain(*chain)
+
+    transforms = {
+        "nu": adam_or_zero(oc.base_lr),
+        "gamma": adam_or_zero(oc.base_lr, cfg.train_gammas),
+        "musx": adam_or_zero(oc.base_lr, cfg.train_musx),
+        "pis": adam_or_zero(oc.base_lr / oc.lr_div, cfg.train_pis),
+        "A": adam_or_zero(oc.base_lr * oc.lr_mult),
+        "sv": adam_or_zero(oc.base_lr * oc.lr_mult_sv, cfg.train_svs),
+        "motion": adam_or_zero(oc.base_lr, cfg.train_trafo and not inc),
+    }
+
+    def labels(params):
+        return SmoeParams(
+            musX="musx", a_diag="A", a_corr="A", pis="pis",
+            nu_e="nu", gamma_e="gamma",
+            motion=None if params.motion is None else "motion",
+            sv=None if params.sv is None else "sv",
+            sv_bw_diag=None if params.sv_bw_diag is None else "sv",
+            sv_bw_corr=None if params.sv_bw_corr is None else "sv")
+
+    return optax.multi_transform(transforms, labels)
+
+
 # --------------------------------------------------------------------------
 # compiled sweeps (built per (cfg, static flags) by _Compiled)
 # --------------------------------------------------------------------------
@@ -248,39 +284,7 @@ class _Compiled:
 
     # ---- optimizers ----
     def _make_tx(self, inc: bool):
-        """optax multi_transform mirroring the 5-optimizer rig
-        (reference smoe_test.py:84-97, smoe.py:1079-1204)."""
-        oc = self.opt_cfg
-        cfg = self.cfg
-
-        def adam_or_zero(lr, enabled=True):
-            chain = []
-            if oc.grad_clip_value_abs is not None:
-                chain.append(optax.clip(oc.grad_clip_value_abs))
-            chain.append(optax.adam(lr) if (enabled and lr != 0)
-                         else optax.set_to_zero())
-            return optax.chain(*chain)
-
-        transforms = {
-            "nu": adam_or_zero(oc.base_lr),
-            "gamma": adam_or_zero(oc.base_lr, cfg.train_gammas),
-            "musx": adam_or_zero(oc.base_lr, cfg.train_musx),
-            "pis": adam_or_zero(oc.base_lr / oc.lr_div, cfg.train_pis),
-            "A": adam_or_zero(oc.base_lr * oc.lr_mult),
-            "sv": adam_or_zero(oc.base_lr * oc.lr_mult_sv, cfg.train_svs),
-            "motion": adam_or_zero(oc.base_lr, cfg.train_trafo and not inc),
-        }
-
-        def labels(params):
-            return SmoeParams(
-                musX="musx", a_diag="A", a_corr="A", pis="pis",
-                nu_e="nu", gamma_e="gamma",
-                motion=None if params.motion is None else "motion",
-                sv=None if params.sv is None else "sv",
-                sv_bw_diag=None if params.sv_bw_diag is None else "sv",
-                sv_bw_corr=None if params.sv_bw_corr is None else "sv")
-
-        return optax.multi_transform(transforms, labels)
+        return make_tx(self.cfg, self.opt_cfg, inc=inc)
 
     # ---- row masks for the main/inc split ----
     def _row_masks(self, capacity: int):

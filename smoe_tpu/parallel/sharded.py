@@ -178,61 +178,82 @@ def shard_inputs(mesh: Mesh, params: SmoeParams, coords, targets, klists):
 
 
 def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
-             mesh: Optional[Mesh] = None):
-    """Data-parallel RD-sweep fan-out: fit independent SMoE models to a
-    batch of images, one (or more) per device (SURVEY §2.2 DP row).
+             mesh: Optional[Mesh] = None, opt_cfg=None,
+             pis_l1=0.0, u_l1=0.0):
+    """Data-parallel RD-sweep fan-out: fit M independent SMoE models, one
+    (or more) per device (SURVEY §2.2 DP row).
 
-    images: (M, *spatial, C) equal-shaped batch.
-    Returns final per-image MSEs.  Embarrassingly parallel: vmapped fit
-    jitted once, sharded over the batch axis.
+    Full fitting semantics, not a toy: the per-model loss is the trainer's
+    `_block_loss` (QAT fake-quant inside, pis/A-L1 regularizers) and the
+    optimizer is the real 5-LR multi_transform rig (`make_tx`), both
+    vmapped over the model axis and sharded over the mesh.
+
+    images: (M, *spatial, C) equal-shaped batch — repeat one image M times
+            to sweep regularizer weights for an RD curve.
+    pis_l1 / u_l1: scalar or (M,) per-model regularizer weights.
+    Returns (batched final SmoeParams with leading M axis, (M,) final MSEs).
+
+    Each model is fit globally (one block, kernel lists all-on) — the RD
+    fan-out use case; block-partitioned fits belong to `Smoe(mesh=...)`.
     """
-    from smoe_tpu.core.init import init_params
     import optax
+    from smoe_tpu.config import OptConfig
+    from smoe_tpu.core.init import gen_domain, init_params
+    from smoe_tpu.fit.trainer import RegWeights, _block_loss, make_tx
 
+    assert not cfg.train_svs and not cfg.ssim_opt, \
+        "fit_many fans out the plain pixel-loss fit"
     imgs = np.asarray(images, np.float32)
     m = imgs.shape[0]
+    d = cfg.dim_domain
     ps = [init_params(imgs[i], cfg) for i in range(m)]
+    musX_grid = None
+    if cfg.use_diff_center:
+        # same grid for every model (function of cfg + image shape only)
+        musX_grid = jnp.asarray(ps[0].musX)
+        ps = [p.replace(musX=np.zeros_like(p.musX)) for p in ps]
     batched = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ps)
 
-    d = cfg.dim_domain
-    from smoe_tpu.core.init import gen_domain
     coords = jnp.asarray(gen_domain(imgs[0], d).reshape(-1, d))
     targets = jnp.asarray(imgs.reshape(m, -1, imgs.shape[-1]))
+    r1 = jnp.broadcast_to(jnp.asarray(pis_l1, jnp.float32), (m,))
+    r2 = jnp.broadcast_to(jnp.asarray(u_l1, jnp.float32), (m,))
 
-    tx = optax.adam(1e-3)
+    tx = make_tx(cfg, opt_cfg or OptConfig())
     opt_state = jax.vmap(tx.init)(batched)
+    kmasks = jnp.ones((m, cfg.capacity), bool)
+    block_padded = tuple(int(s) for s in imgs.shape[1:1 + d])
 
-    def one_loss(p, tgt):
-        eff = apply_qat(p, cfg)
-        from smoe_tpu.fit.trainer import effective_params, _forward_eff
-        e = effective_params(p, cfg, None)
-        out = _forward_eff(e, cfg, coords,
-                           jnp.ones((p.pis.shape[0],), bool), None)
-        la = Lo.pixel_loss(out.res, tgt, cfg)
-        return la.loss_pixel, la.mse
-
-    def one_step(p, s, tgt):
-        (l, mse), g = jax.value_and_grad(one_loss, has_aux=True)(p, tgt)
+    def one_step(p, s, kmask, tgt, w1, w2):
+        def loss_fn(pp):
+            return _block_loss(pp, cfg, coords, tgt, kmask, None, None,
+                               RegWeights(w1, w2, jnp.float32(0.0)),
+                               musX_grid, None, block_padded)
+        (l, (mse, surv, *_)), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
         upd, s = tx.update(g, s, p)
-        import optax as _o
-        return _o.apply_updates(p, upd), s, mse
+        # survivor feedback: next sweep skips influence-culled kernels
+        # (reference smoe.py:1763-1766), same as the trainer's kernel lists
+        return optax.apply_updates(p, upd), s, surv, l, mse
 
     @jax.jit
-    def run(batched, opt_state, targets):
+    def run(batched, opt_state, kmasks, targets, r1, r2):
         def body(carry, _):
-            b, s = carry
-            b, s, mse = jax.vmap(one_step)(b, s, targets)
-            return (b, s), mse
-        (b, s), mses = jax.lax.scan(body, (batched, opt_state), None,
-                                    length=steps)
+            b, s, km = carry
+            b, s, km, l, mse = jax.vmap(one_step)(b, s, km, targets, r1, r2)
+            return (b, s, km), (l, mse)
+        (b, s, km), (ls, mses) = jax.lax.scan(
+            body, (batched, opt_state, kmasks), None, length=steps)
         return b, mses[-1]
 
     if mesh is not None:
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         targets = jax.device_put(targets, sh)
+        r1 = jax.device_put(r1, sh)
+        r2 = jax.device_put(r2, sh)
+        kmasks = jax.device_put(kmasks, sh)
         batched = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), batched)
 
-    final, mse = run(batched, opt_state, targets)
+    final, mse = run(batched, opt_state, kmasks, targets, r1, r2)
     return final, np.asarray(mse)

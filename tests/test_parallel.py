@@ -175,3 +175,51 @@ class TestDataParallel:
         _, mses = fit_many(imgs, cfg, steps=30, mesh=mesh)
         assert mses.shape == (4,)
         assert np.isfinite(mses).all()
+
+    def test_fit_many_matches_smoe_global_fit(self):
+        """fit_many uses the REAL rig: same _block_loss + 5-LR
+        multi_transform as the trainer, so a single-model fan-out must
+        reproduce a global-fit Smoe run."""
+        from smoe_tpu.fit.trainer import Smoe
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([.5 + .3 * np.sin(5 * x),
+                        .5 + .3 * np.cos(4 * y),
+                        .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+        # 8 steps: bit-identical (beyond that, QAT fake-quant rounding
+        # knife-edges amplify float-order noise into visible drift)
+        s = Smoe(img, kernels_per_dim=[3], quantization_mode=2)
+        s.set_optimizer()
+        s.run_batched_chunk(8, pis_l1=1e-4, u_l1=1e-6)
+        batched, _ = fit_many(img[None], s.cfg, steps=8,
+                              pis_l1=1e-4, u_l1=1e-6)
+        p_ref = s.get_params()
+        s.params = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0]),
+                                          batched)
+        p_dp = s.get_params()
+        for k in p_ref:
+            np.testing.assert_array_equal(p_dp[k], p_ref[k], err_msg=k)
+
+        # 60 steps: still tracking
+        s2 = Smoe(img, kernels_per_dim=[3], quantization_mode=2)
+        s2.set_optimizer()
+        _, mse_a, *_ = [np.asarray(v) for v in
+                        s2.run_batched_chunk(60, pis_l1=1e-4, u_l1=1e-6)]
+        _, mses = fit_many(img[None], s2.cfg, steps=60,
+                           pis_l1=1e-4, u_l1=1e-6)
+        # mid-descent MSE moves fast per step, so rounding chaos shows up
+        # amplified here; same-order tracking is the meaningful assertion
+        np.testing.assert_allclose(mses[0], mse_a[-1], rtol=0.2)
+
+    def test_fit_many_per_model_regularizers(self):
+        """Per-model pis_l1 weights: a strong sparsifier must push down the
+        total gating mass relative to none (the RD fan-out use case)."""
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = (0.5 + 0.3 * np.sin(6 * x) * np.cos(5 * y)
+               ).astype(np.float32)[..., None]
+        cfg = SmoeConfig(dim_domain=2, num_channels=1, kernels_per_dim=(4, 4),
+                         use_yuv=False)
+        imgs = np.repeat(img[None], 2, axis=0)
+        batched, _ = fit_many(imgs, cfg, steps=150,
+                              pis_l1=np.asarray([0.0, 3e-3], np.float32))
+        pis = np.asarray(batched.pis)
+        assert np.sum(np.maximum(pis[1], 0)) < np.sum(np.maximum(pis[0], 0))
