@@ -88,11 +88,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
+    # multi-host runtime (SURVEY §2.2 multi-host row; the TPU-native
+    # equivalent of the reference's HPC job arrays, smoe_test.py:112-116)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0; enables jax multi-process "
+                        "init (parallel/multihost.py)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    from smoe_tpu.parallel import multihost
+    multihost.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
     from smoe_tpu import Smoe
     from smoe_tpu.config import OptConfig
     from smoe_tpu.codec.container import load_params, save_model
@@ -120,7 +130,7 @@ def main(args=None):
     if args.loss_mask_path:
         loss_mask = np.load(args.loss_mask_path)["loss_mask"]
 
-    if args.results_path:
+    if args.results_path and multihost.primary():
         if os.path.exists(args.results_path):
             shutil.rmtree(args.results_path)
         os.makedirs(args.results_path)
@@ -250,16 +260,19 @@ def main(args=None):
     if quant and smoe.qparams is None:
         from smoe_tpu.codec.quantize import quantize_params
         smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
-    save_model(os.path.join(args.results_path, "params_best.pkl"),
-               smoe.get_best_params(), smoe.cfg,
-               qparams=smoe.qparams if quant else None,
-               losses=smoe.get_losses(), mses=smoe.get_mses(),
-               num_pis=smoe.get_num_pis())
-    save_model(os.path.join(args.results_path, "params_last.pkl"),
-               smoe.get_params(), smoe.cfg,
-               qparams=smoe.qparams if quant else None,
-               losses=smoe.get_losses(), mses=smoe.get_mses(),
-               num_pis=smoe.get_num_pis())
+    # process 0 owns all persisted artifacts (multihost.py docstring)
+    multihost.save_model_primary(
+        save_model, os.path.join(args.results_path, "params_best.pkl"),
+        smoe.get_best_params(), smoe.cfg,
+        qparams=smoe.qparams if quant else None,
+        losses=smoe.get_losses(), mses=smoe.get_mses(),
+        num_pis=smoe.get_num_pis())
+    multihost.save_model_primary(
+        save_model, os.path.join(args.results_path, "params_last.pkl"),
+        smoe.get_params(), smoe.cfg,
+        qparams=smoe.qparams if quant else None,
+        losses=smoe.get_losses(), mses=smoe.get_mses(),
+        num_pis=smoe.get_num_pis())
     return smoe
 
 

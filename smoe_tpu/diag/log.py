@@ -22,6 +22,9 @@ class ModelLogger:
 
     def log(self, smoe) -> None:
         from smoe_tpu.codec.container import save_model
+        from smoe_tpu.parallel.multihost import primary
+        if not primary():      # process 0 owns all persisted artifacts
+            return
         it = smoe.iter
         save_model(os.path.join(self.path, "params", f"{it}.pkl"),
                    smoe.get_params(), smoe.cfg, qparams=smoe.qparams,
