@@ -7,7 +7,12 @@ smoe.py:1012, smoe_test.py:302-303).  Here the quantized integers are
 actually entropy-coded: an adaptive binary range coder (LZMA-style carry
 tracking, 11-bit probabilities, context = (param group, bit position)),
 implemented in C++ (native/rangecoder.cc, loaded via ctypes) with a
-bit-exact pure-Python fallback.
+bit-exact pure-Python fallback.  Per-kernel streams are inter-kernel
+predicted first: kernels sit in raster grid order, so per-component
+deltas along the kernel axis (zigzag-mapped, one extra magnitude bit)
+are small and the adaptive bit-position contexts squeeze them well; the
+raw/delta choice is made per param by a magnitude estimate and recorded
+in the header, keeping decode exactly invertible.
 
 Container layout:  b"SMOE" | u32 header_len | JSON header | payload
 The JSON header carries everything the decoder needs to rebuild params
@@ -277,19 +282,113 @@ def _structural_size(name: str, shape) -> int:
     return k * d if name == "A_diagonal" else k * (d * (d - 1) // 2)
 
 
-def _symbol_stream(qparams: Dict, bit_depths) -> Tuple[np.ndarray, ...]:
-    vals, nbits, group = [], [], []
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    """Signed delta -> unsigned: 2d for d>=0, -2d-1 for d<0."""
+    d = d.astype(np.int64)
+    return np.where(d >= 0, 2 * d, -2 * d - 1).astype(np.uint32)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.int64)
+    return np.where(z & 1, -((z + 1) >> 1), z >> 1)
+
+
+def _delta_encode(v: np.ndarray, k: int) -> np.ndarray:
+    """Per-component delta along the kernel axis (exact, invertible).
+
+    v: flat uint32 stream of a (K, F) per-kernel array in row-major order.
+    Kernels sit in raster grid order (core/init.py generate_kernel_grid),
+    so consecutive kernels are spatial neighbors and musX/nu/A streams are
+    strongly correlated — the inter-kernel prediction VERDICT r1 #5 names.
+    """
+    d = v.reshape(k, -1).astype(np.int64)
+    d[1:] -= v.reshape(k, -1)[:-1].astype(np.int64)
+    return _zigzag(d.reshape(-1))
+
+
+def _delta_decode(z: np.ndarray, k: int) -> np.ndarray:
+    d = _unzigzag(z).reshape(k, -1)
+    return np.cumsum(d, axis=0, dtype=np.int64).reshape(-1).astype(np.uint32)
+
+
+def _est_bits(v: np.ndarray) -> float:
+    """Cheap magnitude-entropy estimate to pick the coding mode per param."""
+    return float(np.sum(np.ceil(np.log2(v.astype(np.float64) + 2.0))))
+
+
+def _musx_grid_pred(kernels_per_dim, d: int, lb: np.ndarray, ub: np.ndarray,
+                    step: int, used: np.ndarray) -> np.ndarray:
+    """Quantized-integer prediction of musX from the init kernel grid.
+
+    Both sides compute this from header fields only (kernels_per_dim,
+    bounds, steps, used_kernels), so the residual coding is exactly
+    invertible.  Slots beyond the grid (inc/video spares) predict 0.
+    """
+    from smoe_tpu.core.init import gen_domain
+    kpd = list(kernels_per_dim)
+    if len(kpd) == 1:
+        kpd = kpd * d
+    grid = gen_domain(kpd, d)                      # (G, d) float32
+    idx = np.flatnonzero(np.asarray(used, bool))
+    pred = np.zeros((idx.size, d), np.float64)
+    ok = idx < grid.shape[0]
+    pred[ok] = grid[idx[ok]]
+    p = np.round((pred - lb) / (ub - lb + _RANGE_EPS()) * step)
+    return np.clip(p, 0, step).astype(np.int64).reshape(-1)
+
+
+def _RANGE_EPS():
+    from smoe_tpu.codec.quantize import RANGE_EPS
+    return RANGE_EPS
+
+
+def _symbol_stream(qparams: Dict, bit_depths,
+                   num_kernels: int, cfg=None) -> Tuple[np.ndarray, ...]:
+    """Returns (vals, nbits, group, modes).
+
+    Per-kernel streams are inter-kernel predicted when the magnitude
+    estimate says the residuals are cheaper, per param:
+      "raw"      b-bit absolute integers
+      "delta"    per-component deltas along the (raster-ordered) kernel axis
+      "grid"     musX only: residual against the init-grid prediction the
+                 decoder can recompute from the header
+      "const:N"  residual against the stored per-param median N (quantized
+                 values cluster mid-range because the bounds are
+                 data-derived, so the MSBs of raw coding are maximally
+                 uncertain — e.g. gamma_e concentrates at quantized 0.0)
+    Residuals are zigzag-mapped (one extra magnitude bit); the mode per
+    param goes into the header so decode is exact either way.
+    """
+    vals, nbits, group, modes = [], [], [], {}
     for name in _ORDER:
         if name not in qparams:
             continue
         v = _structural(name, np.asarray(qparams[name]))
         b = int(bit_depths[_BD_INDEX[name]])
         v = np.clip(np.round(v), 0, (1 << b) - 1).astype(np.uint32)
+        cands = {"raw": (v, b)}
+        if v.size:
+            med = int(np.median(v))
+            cands[f"const:{med}"] = (
+                _zigzag(v.astype(np.int64) - med), b + 1)
+        if num_kernels > 1 and v.size % num_kernels == 0 and v.size:
+            cands["delta"] = (_delta_encode(v, num_kernels), b + 1)
+        if name == "musX" and cfg is not None and v.size:
+            pred = _musx_grid_pred(
+                cfg.kernels_per_dim, cfg.dim_domain,
+                np.asarray(qparams["lower_bounds"]["musX"]),
+                np.asarray(qparams["upper_bounds"]["musX"]),
+                int(qparams["steps"]["musX"]), qparams["used_kernels"])
+            if pred.size == v.size:
+                cands["grid"] = (_zigzag(v.astype(np.int64) - pred), b + 1)
+        mode = min(cands, key=lambda m: _est_bits(cands[m][0]))
+        v, b = cands[mode]
+        modes[name] = mode
         vals.append(v)
         nbits.append(np.full(v.size, b, np.uint8))
         group.append(np.full(v.size, _GROUP_BITS[name], np.uint8))
     return (np.concatenate(vals), np.concatenate(nbits),
-            np.concatenate(group))
+            np.concatenate(group), modes)
 
 
 def write_bitstream(path: str, qparams: Dict, cfg,
@@ -306,8 +405,14 @@ def write_bitstream(path: str, qparams: Dict, cfg,
               for n in _ORDER if n in qparams}
     dtypes = {n: str(np.asarray(qparams[n]).dtype)
               for n in _ORDER if n in qparams}
+    num_kernels = int(np.count_nonzero(
+        np.asarray(qparams["used_kernels"], bool)))
+    vals, nbits, group, modes = _symbol_stream(qparams, bd, num_kernels,
+                                               cfg=cfg)
     header = {
-        "version": 1,
+        "version": 2,
+        "modes": modes,
+        "num_kernels": num_kernels,
         "dim_domain": cfg.dim_domain,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
@@ -329,7 +434,6 @@ def write_bitstream(path: str, qparams: Dict, cfg,
     }
     if extra:
         header.update(extra)
-    vals, nbits, group = _symbol_stream(qparams, bd)
     payload = encode_symbols(vals, nbits, group)
     hjson = json.dumps(header).encode("utf-8")
     with open(path, "wb") as fd:
@@ -351,12 +455,16 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
 
     bd = header["bit_depths"]
     shapes = header["shapes"]
+    modes = header.get("modes", {})             # absent in version-1 files
+    num_kernels = int(header.get("num_kernels", 0))
     nbits, group = [], []
     for name in _ORDER:
         if name not in shapes:
             continue
         n = _structural_size(name, shapes[name])
-        nbits.append(np.full(n, bd[_BD_INDEX[name]], np.uint8))
+        b = bd[_BD_INDEX[name]] + (1 if modes.get(name, "raw") != "raw"
+                                   else 0)
+        nbits.append(np.full(n, b, np.uint8))
         group.append(np.full(n, _GROUP_BITS[name], np.uint8))
     nbits = np.concatenate(nbits)
     group = np.concatenate(group)
@@ -378,6 +486,19 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
             continue
         n = _structural_size(name, shapes[name])
         dt = np.dtype(header.get("dtypes", {}).get(name, "float64"))
+        raw = vals[off:off + n]
+        mode = modes.get(name, "raw")
+        if mode == "delta":
+            raw = _delta_decode(raw, num_kernels)
+        elif mode.startswith("const:"):
+            raw = (_unzigzag(raw) + int(mode[6:])).astype(np.uint32)
+        elif mode == "grid":
+            pred = _musx_grid_pred(
+                header["kernels_per_dim"], header["dim_domain"],
+                qparams["lower_bounds"]["musX"],
+                qparams["upper_bounds"]["musX"],
+                int(qparams["steps"]["musX"]), qparams["used_kernels"])
+            raw = (_unzigzag(raw) + pred).astype(np.uint32)
         qzero = None
         if name in ("A_diagonal", "A_corr") and len(shapes[name]) == 3:
             from smoe_tpu.codec.quantize import RANGE_EPS
@@ -385,7 +506,7 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
             ub = qparams["upper_bounds"][name]
             qzero = np.round((0.0 - lb) / (ub - lb + RANGE_EPS)
                              * header["steps"]["A"])
-        qparams[name] = _unstructural(name, vals[off:off + n].astype(dt),
+        qparams[name] = _unstructural(name, raw.astype(dt),
                                       shapes[name], qzero)
         off += n
     return qparams, header

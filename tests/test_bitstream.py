@@ -74,3 +74,30 @@ def test_container_roundtrip(tmp_path, toy_rgb):
     # the overhead; at production K the payload lands at/below the proxy
     # (test_biased_stream_compresses_below_raw covers the win)
     assert nbits_payload < rate_bits(q, s.cfg) * 1.5 + 512
+
+
+def test_interkernel_prediction_beats_proxy(tmp_path):
+    """At production kernel counts the predicted+entropy-coded rate must be
+    meaningfully below the raw-bits proxy at identical decoded values
+    (VERDICT r1 #5)."""
+    from smoe_tpu.fit.trainer import Smoe
+    y, x = np.mgrid[0:64, 0:64] / 63.0
+    img = np.stack([.5 + .3 * np.sin(7 * x) * np.cos(5 * y),
+                    .5 + .25 * np.cos(6 * (x + y)),
+                    .4 + .3 * np.sin(4 * x * y)], -1).astype(np.float32)
+    s = Smoe(img, kernels_per_dim=[12], quantize_pis=True)
+    s.set_optimizer()
+    s.run_batched_chunk(60)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "model.smoe")
+    bits = bs.write_bitstream(path, q, s.cfg)
+    q2, header = bs.read_bitstream(path)
+    # prediction engaged on the spatially-correlated streams...
+    assert header["modes"]["musX"] in ("grid", "delta")
+    assert any(m != "raw" for m in header["modes"].values())
+    # ...decoded exactly...
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(np.asarray(q[name]).round(),
+                                      np.asarray(q2[name]), err_msg=name)
+    # ...and at least 3% below the raw proxy
+    assert bits < rate_bits(q, s.cfg) * 0.97
