@@ -117,13 +117,15 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
                  kernel_mask: jnp.ndarray,
                  model_mask: Optional[jnp.ndarray],
                  fused: Tuple[bool, bool] = (False, False),
-                 sv_add: Optional[jnp.ndarray] = None) -> ForwardOut:
+                 sv_add: Optional[jnp.ndarray] = None,
+                 spatial: Optional[Tuple[int, ...]] = None) -> ForwardOut:
     """Forward from the effective view (handles motion + dual model).
 
     fused = (enabled, interpret): route through the Pallas gate+expert
     kernel when enabled and the config allows (no dual model, no coordinate
     gradients, i.e. not train_trafo video).
     sv_add: (Nb,) precomputed SV residual added to the Y channel pre-clip.
+    spatial: block pixel shape for the packed kernel's patch ordering.
     """
     coords_raw = None
     if eff.motion is not None and cfg.dim_domain == 3:
@@ -142,7 +144,8 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
                              interpret=fused[1], sv_add=sv_add,
                              packed=len(fused) > 2 and fused[2],
                              coords_raw=coords_raw,
-                             model_mask=model_mask)
+                             model_mask=model_mask, spatial=spatial,
+                             k_cap=fused[3] if len(fused) > 3 else None)
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)
@@ -178,7 +181,7 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
     if sv_blk is not None:
         sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
     out = _forward_eff(eff, cfg, coords, kernel_mask, model_mask,
-                       fused=fused, sv_add=sv_add)
+                       fused=fused, sv_add=sv_add, spatial=block_padded)
 
     if cfg.ssim_opt:
         c = targets.shape[-1]
@@ -318,7 +321,7 @@ class _Compiled:
     # ---- sweeps ----
     def train_sweep_fn(self, train_orig: bool, train_inc: bool,
                        sampling_pct: int, use_loss_mask: bool,
-                       n_steps: int = 1):
+                       n_steps: int = 1, k_cap: Optional[int] = None):
         """Jitted multi-sweep: `n_steps` full block sweeps (each = one
         optimizer step) inside ONE XLA program via lax.scan.
 
@@ -328,9 +331,11 @@ class _Compiled:
         Kernel lists are refreshed from the influence-culling survivors
         between sweeps inside the scan (reference smoe.py:1763-1766).
         """
-        key = (train_orig, train_inc, sampling_pct, use_loss_mask, n_steps)
+        key = (train_orig, train_inc, sampling_pct, use_loss_mask, n_steps,
+               k_cap)
         if key in self._train_fns:
             return self._train_fns[key]
+        fused_spec = self.pallas + (k_cap,)
 
         cfg = self.cfg
         bset = self.bset
@@ -370,9 +375,10 @@ class _Compiled:
                 targets = targets[idx]
                 lw = None if lw is None else lw[idx]
                 valid = None
+
             return _block_loss(params, cfg, coords, targets, kmask, valid,
                                lw, reg, musX_grid, model_mask,
-                               bset.block_padded, fused=self.pallas,
+                               bset.block_padded, fused=fused_spec,
                                sv_blk=sv_blk, thr_sv=thr_sv)
 
         grad_fn = jax.value_and_grad(loss_for_block, has_aux=True)
@@ -762,6 +768,28 @@ class Smoe:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _current_k_cap(self) -> Optional[int]:
+        """Static kernel-width cap for the capped-dense sparse mode: the max
+        per-block kernel-list count, rounded up to the 128-lane bucket.
+
+        SOUND FOR A WHOLE CHUNK: within a compiled chunk the lists only
+        shrink (each sweep replaces them with its influence-culling
+        survivors, a subset of the evaluated kernels); they grow only
+        between chunks via update_kernel_list, after which this is
+        re-evaluated (a new bucket recompiles that sweep length once).
+        Measured at 1080p/K=576 this beats both an in-kernel dynamic
+        tile loop (90 ms) and a per-block lax.switch over width buckets
+        (43 ms): one wide static MXU matmul wins (33 ms vs 35 dense).
+        """
+        pal = self._compiled.pallas
+        if not pal[0] or (len(pal) > 2 and pal[2]):     # off / packed mode
+            return None
+        counts = np.asarray(jnp.sum(self.kernel_lists, axis=1))
+        cap = int(counts.max()) if counts.size else 0
+        cap = max(128, -(-cap // 128) * 128)
+        k_pad = -(-self.cfg.capacity // 128) * 128
+        return cap if cap < k_pad else None
+
     def run_batched_chunk(self, n_steps, pis_l1=0.0, u_l1=0.0,
                           sv_l1_sub_l2=0.0, sampling_percentage=100,
                           train_orig=True, train_inc=False, thr_sv=None,
@@ -779,7 +807,8 @@ class Smoe:
         lw = self.loss_mask if use_loss_mask else None
         fn = self._compiled.train_sweep_fn(
             bool(train_orig), bool(train_inc), int(sampling_percentage),
-            use_loss_mask and lw is not None, int(n_steps))
+            use_loss_mask and lw is not None, int(n_steps),
+            k_cap=self._current_k_cap())
         # reference trains with threshold 0 (smoe.py:1552, default :707)
         tsv = jnp.float32(0.0 if thr_sv is None else thr_sv)
         (self.params, self.opt_state, self.inc_opt_state, self.kernel_lists,

@@ -165,7 +165,7 @@ class TestPackedSparse:
         res_d, surv_d = fused_gate_expert(phi, xe, q, G, pi, mask,
                                           1e-3, 1e-11, n, True)
         res_p, surv_p = fused_gate_expert_packed(
-            phi, xe, q, G, pi, mask, 1e-3, 1e-11, n, True)
+            phi, xe, q, G, pi, mask, None, None, 1e-3, 1e-11, n, True)
         np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_d),
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(surv_p), np.asarray(surv_d),
@@ -186,7 +186,7 @@ class TestPackedSparse:
 
         def loss_p(q, G, pi):
             res, _ = fused_gate_expert_packed(
-                phi, xe, q, G, pi, mask, 1e-3, 1e-11, n, True)
+                phi, xe, q, G, pi, mask, None, None, 1e-3, 1e-11, n, True)
             return jnp.sum(jnp.sin(res))
 
         gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, G, pi)
@@ -216,6 +216,72 @@ class TestPackedSparse:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(out_p.survivors),
                                       np.asarray(out_xla.survivors))
+
+    def test_tile_cull_matches_dense(self):
+        """Hierarchical per-pixel-tile culling (patch order + [phi(center),
+        radius] descriptors) must reproduce the dense result: skipped tiles
+        only drop contributions that underflow f32."""
+        from smoe_tpu.core.model import forward_fused, smoe_forward
+        from smoe_tpu.core.params import assemble_A
+        from smoe_tpu.config import SmoeConfig
+        from smoe_tpu.core.init import init_params, gen_domain
+
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0.2, 0.8, (64, 64, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=1,
+                         kernels_per_dim=(4, 4), use_yuv=False)
+        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
+        # sharpen steering hard so far tiles genuinely cull (A ~ 600)
+        params = params.replace(a_diag=params.a_diag * 60.0)
+        coords = jnp.asarray(gen_domain(img, 2).reshape(-1, 2))
+        kmask = jnp.ones((params.capacity,), bool)
+        out_xla = smoe_forward(params, cfg, coords, kmask)
+        A = assemble_A(params, cfg)
+        out_p = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
+                              params.pis, cfg, coords, kmask,
+                              interpret=True, packed=True,
+                              spatial=(64, 64))
+        np.testing.assert_allclose(np.asarray(out_p.res),
+                                   np.asarray(out_xla.res),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_p.survivors),
+                                      np.asarray(out_xla.survivors))
+
+    def test_tile_cull_gradients_match(self):
+        """Gradients through the culled packed path == the un-culled fused
+        gradients (tile culling must only skip work that underflows; the
+        fused family's f32 deviation from XLA is covered elsewhere)."""
+        from smoe_tpu.core.model import forward_fused
+        from smoe_tpu.core.params import assemble_A
+        from smoe_tpu.config import SmoeConfig
+        from smoe_tpu.core.init import init_params, gen_domain
+
+        rng = np.random.default_rng(9)
+        img = rng.uniform(0.2, 0.8, (32, 32, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=1,
+                         kernels_per_dim=(4, 4), use_yuv=False)
+        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
+        params = params.replace(a_diag=params.a_diag * 40.0)
+        coords = jnp.asarray(gen_domain(img, 2).reshape(-1, 2))
+        kmask = jnp.ones((params.capacity,), bool)
+        tgt = jnp.asarray(img.reshape(-1, 1))
+
+        def mk_loss(spatial):
+            def loss(p):
+                A = assemble_A(p, cfg)
+                out = forward_fused(A, p.musX, p.nu_e, p.gamma_e, p.pis,
+                                    cfg, coords, kmask, interpret=True,
+                                    packed=True, spatial=spatial)
+                return jnp.mean((out.res - tgt) ** 2)
+            return loss
+
+        g_nocull = jax.grad(mk_loss(None))(params)
+        g_cull = jax.grad(mk_loss((32, 32)))(params)
+        for f in ("musX", "a_diag", "pis", "nu_e", "gamma_e"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_cull, f)),
+                np.asarray(getattr(g_nocull, f)),
+                rtol=1e-6, atol=1e-30, err_msg=f)
 
     def test_training_sweep_with_packed_blocks(self):
         """Multi-block training on CPU uses the packed path (use_pallas=on,
