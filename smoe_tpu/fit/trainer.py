@@ -817,7 +817,10 @@ class Smoe:
                   self.model_mask, self.sampling_probs, self._next_rng(),
                   tsv, self._coords_dev, self._targets_dev)
         self.valid = False
-        return tuple(np.asarray(y) for y in ys)
+        # ONE device->host transfer for all metric arrays: through the
+        # remote-TPU tunnel each np.asarray is a separate round trip
+        # (~50 ms each measured), which dominates short chunks
+        return tuple(jax.device_get(ys))
 
     def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
                     update_reconstruction=False, with_quantized_params=False,
