@@ -855,28 +855,36 @@ class Smoe:
         fn = self._compiled.eval_sweep_fn()
         loss, mse, res, w_am, surv, probs, num_pi, sv_map = fn(
             eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
-        num_sv = int(np.sum(np.abs(np.asarray(self.params.sv)) > 5e-3)) \
-            if svp is not None else 0
+
+        # batch ALL device->host transfers into one jax.device_get — each
+        # separate pull is a ~50 ms round trip through the remote-TPU tunnel
+        pull = {"loss": loss, "mse": mse, "num_pi": num_pi}
+        if svp is not None:
+            pull["num_sv"] = jnp.sum(jnp.abs(self.params.sv) > 5e-3)
+        if update_reconstruction:
+            pull["rec"] = stitch_blocks(res, self.bset)
+            pull["wam"] = stitch_blocks(w_am[..., None], self.bset)[..., 0]
+            if svp is not None:
+                pull["sv_map"] = stitch_blocks(sv_map[..., None],
+                                               self.bset)[..., 0]
+        h = jax.device_get(pull)
+        num_sv = int(h["num_sv"]) if svp is not None else 0
 
         if update_reconstruction:
-            rec = np.asarray(stitch_blocks(res, self.bset))
-            wam = np.asarray(stitch_blocks(w_am[..., None],
-                                           self.bset))[..., 0]
-            self.sampling_probs = probs
+            self.sampling_probs = probs        # stays on device
             if svp is not None:
-                self.reconstruction_sv = np.asarray(
-                    stitch_blocks(sv_map[..., None], self.bset))[..., 0]
+                self.reconstruction_sv = h["sv_map"]
             if with_quantized_params:
-                self.qreconstruction_image = rec
-                self.qweight_matrix_argmax = wam
+                self.qreconstruction_image = h["rec"]
+                self.qweight_matrix_argmax = h["wam"]
                 self.qvalid = True
             else:
-                self.reconstruction_image = rec
-                self.weight_matrix_argmax = wam
+                self.reconstruction_image = h["rec"]
+                self.weight_matrix_argmax = h["wam"]
                 self.valid = True
         if not with_quantized_params:
             self._update_kernel_lists_from(surv)
-        return float(loss), float(mse), int(num_pi), num_sv
+        return float(h["loss"]), float(h["mse"]), int(h["num_pi"]), num_sv
 
     def _update_kernel_lists_from(self, survivors):
         """Per-block kernel lists <- influence-culling survivors
@@ -948,6 +956,11 @@ class Smoe:
             ukl_iter = val_iter
         if self.opt_state is None:
             self.set_optimizer()
+        # stitching + pulling the full reconstruction each validation only
+        # pays off when someone consumes it (callbacks) or when subsampling
+        # needs the refreshed error-proportional probabilities; otherwise
+        # get_reconstruction() recomputes lazily on demand
+        upd_rec = bool(callbacks) or sampling_percentage < 100
 
         from smoe_tpu.codec.quantize import quantize_params, rescaler
 
@@ -965,13 +978,13 @@ class Smoe:
                     np.asarray(self.qparams["used_kernels"])])
             self.best_qloss, self.best_qmse, _, _ = self.run_batched(
                 pis_l1, u_l1, sv_l1_sub_l2, train=False,
-                update_reconstruction=True, with_quantized_params=True)
+                update_reconstruction=upd_rec, with_quantized_params=True)
             self.qlosses.append((0, self.best_qloss))
             self.qmses.append((0, self.best_qmse))
 
         loss_val, mse_val, num_pi, num_sv = self.run_batched(
             pis_l1, u_l1, sv_l1_sub_l2, train=False,
-            update_reconstruction=True, use_loss_mask=use_loss_mask)
+            update_reconstruction=upd_rec, use_loss_mask=use_loss_mask)
         self.best_loss, self.best_mse = loss_val, mse_val
         self._snapshot_best()
         self.losses.append((self.iter, loss_val))
@@ -1027,14 +1040,14 @@ class Smoe:
                                 np.asarray(self.qparams["used_kernels"])])
                         qloss_val, qmse_val, _, _ = self.run_batched(
                             pis_l1, u_l1, sv_l1_sub_l2, train=False,
-                            update_reconstruction=True,
+                            update_reconstruction=upd_rec,
                             with_quantized_params=True,
                             use_loss_mask=use_loss_mask)
                         self.qlosses.append((self.iter, qloss_val))
                         self.qmses.append((self.iter, qmse_val))
                     loss_val, mse_val, num_pi, num_sv = self.run_batched(
                         pis_l1, u_l1, train=False,
-                        update_reconstruction=True,
+                        update_reconstruction=upd_rec,
                         use_loss_mask=use_loss_mask)
 
                 if np.isnan(loss_val):
@@ -1065,18 +1078,23 @@ class Smoe:
 
     def get_params(self) -> Dict[str, np.ndarray]:
         """Effective (fake-quantized) params as numpy dict
-        (reference smoe.py:1795-1810 returns the q* tensors)."""
+        (reference smoe.py:1795-1810 returns the q* tensors).
+
+        One batched device->host transfer (called per best-snapshot)."""
         eff = apply_qat(self.params, self.cfg)
-        out = {
-            "pis": np.asarray(eff.pis),
-            "musX": np.asarray(eff.musX),
-            "A_diagonal": np.asarray(eff.a_diag),
-            "A_corr": np.asarray(eff.a_corr),
-            "gamma_e": np.asarray(eff.gamma_e),
-            "nu_e": np.asarray(eff.nu_e),
+        dev = {
+            "pis": eff.pis,
+            "musX": eff.musX,
+            "A_diagonal": eff.a_diag,
+            "A_corr": eff.a_corr,
+            "gamma_e": eff.gamma_e,
+            "nu_e": eff.nu_e,
         }
         if self.params.motion is not None:
-            m = np.asarray(eff.motion)
+            dev["_motion"] = eff.motion
+        out = jax.device_get(dev)
+        m = out.pop("_motion", None)
+        if m is not None:
             for i, name in enumerate(
                     ["h11", "h12", "h13", "h21", "h22", "h23", "h31", "h32"]):
                 out[name] = m[i]
