@@ -98,7 +98,8 @@ def main():
     cpu = jax.devices("cpu")[0]
     s_cpu = make_smoe(img, device=cpu)
     s_cpu.set_optimizer()
-    s_cpu.run_batched(train=True)      # compile
+    s_cpu.run_batched_chunk(3)         # compile the 3-step program
+    s_cpu.run_batched_chunk(3)         # warm it at the settled k_cap bucket
     t_iter_cpu = time_iters(s_cpu, 3)
 
     evals_per_sec = n_pix * int(npi) / t_iter_warm

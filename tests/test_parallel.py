@@ -153,6 +153,35 @@ class TestMeshTrainer:
         # kernel lists were actually refreshed (not all-on) on both paths
         assert not bool(np.all(np.asarray(runs[1].kernel_lists)))
 
+    def test_mesh_ssim_loss(self):
+        """SSIM loss under the sharded trainer (full-semantics claim)."""
+        from smoe_tpu.fit.trainer import Smoe
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:4]), ("b",))
+        s = Smoe(self._img(), kernels_per_dim=[4], batch_size=(16, 16),
+                 ssim_opt=True, mesh=mesh)     # 4 blocks over 4 devices
+        s.set_optimizer()
+        loss_a, mse_a, *_ = s.run_batched_chunk(15)
+        assert np.isfinite(loss_a).all()
+        assert mse_a[-1] < mse_a[0]
+
+    def test_mesh_video_motion(self):
+        """3-D video fit with per-frame motion params under the sharded
+        trainer (blocks over 'b', motion replicated)."""
+        from smoe_tpu.fit.trainer import Smoe
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 1, 4)[None, None, :, None]
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        vid = (0.5 + 0.3 * np.sin(5 * x[..., None, None] + 2 * t)
+               + 0.1 * np.cos(4 * y[..., None, None])).astype(np.float32)
+        vid = np.clip(vid, 0, 1)
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:4]), ("b",))
+        s = Smoe(vid, kernels_per_dim=[3, 3, 2], use_yuv=False,
+                 batch_size=(8, 8, 4), mesh=mesh)   # 4 blocks
+        s.set_optimizer()
+        loss_a, mse_a, *_ = s.run_batched_chunk(10)
+        assert np.isfinite(loss_a).all()
+        assert mse_a[-1] < mse_a[0]
+
     def test_mesh_eval_and_reconstruction(self):
         mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
         s = self._fit(mesh, base_lr=1e-3)
