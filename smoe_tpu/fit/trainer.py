@@ -501,9 +501,18 @@ class _Compiled:
         self._train_fns[key] = fn
         return fn
 
-    def eval_sweep_fn(self):
-        if hasattr(self, "_eval_fn"):
-            return self._eval_fn
+    def eval_sweep_fn(self, with_rec: bool = True):
+        """Jitted eval sweep.
+
+        with_rec=True: full outputs (stitchable reconstruction, gating
+        argmax, error-proportional sampling probs) via the XLA forward.
+        with_rec=False: light validation — loss/mse/survivors/num_pi only,
+        through the FUSED forward (no (N, K) gating map is ever formed);
+        used by train() when nothing consumes the reconstruction.
+        """
+        attr = "_eval_fn" if with_rec else "_eval_fn_light"
+        if hasattr(self, attr):
+            return getattr(self, attr)
         cfg = self.cfg
         bset = self.bset
         bw = self.block_weight
@@ -521,7 +530,10 @@ class _Compiled:
                     jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
                 sv_add, _ = _sv_residual(coords, *sv_blk, thr_sv)
             out = _forward_eff(eff, cfg, coords, kmask, model_mask,
-                               sv_add=sv_add if with_sv else None)
+                               fused=(False, False) if with_rec
+                               else self.pallas,
+                               sv_add=sv_add if with_sv else None,
+                               spatial=bset.block_padded)
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 tm = bset.train_mask[bidx]        # this block's view mask
@@ -548,6 +560,8 @@ class _Compiled:
             diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
             loss = loss + reg.u_l1 * jnp.sum(
                 jnp.where(active[:, None], diag_A, 0.0))
+            if not with_rec:
+                return loss, la.mse, out.survivors
             w_argmax = jnp.argmax(out.w_e, axis=1)
             probs = la.err_map / jnp.maximum(jnp.sum(la.err_map), 1e-30)
             return (loss, la.mse, out.res, w_argmax, out.survivors, probs,
@@ -561,21 +575,25 @@ class _Compiled:
             def body(carry, xs):
                 loss_acc, mse_acc = carry
                 coords, targets, kmask, lw, bidx = xs
-                loss, mse, res, w_am, surv, probs, sv_map = eval_block(
+                out = eval_block(
                     eff, svp, coords, targets, kmask,
                     lw if loss_w is not None else None, reg, model_mask,
                     bidx, thr_sv)
-                return ((loss_acc + bw * loss, mse_acc + bw * mse),
-                        (res, w_am, surv, probs, sv_map))
+                loss, mse = out[0], out[1]
+                return ((loss_acc + bw * loss, mse_acc + bw * mse), out[2:])
 
-            (loss, mse), (res, w_am, surv, probs, sv_map) = jax.lax.scan(
+            (loss, mse), ys = jax.lax.scan(
                 body, (0.0, 0.0),
                 (bset.coords, bset.targets, klists, lw_xs, jnp.arange(B)))
             num_pi = jnp.sum(eff.pis > 0)
+            if not with_rec:
+                (surv,) = ys
+                return loss, mse, surv, num_pi
+            res, w_am, surv, probs, sv_map = ys
             return loss, mse, res, w_am, surv, probs, num_pi, sv_map
 
-        self._eval_fn = jax.jit(sweep)
-        return self._eval_fn
+        setattr(self, attr, jax.jit(sweep))
+        return getattr(self, attr)
 
 
 # --------------------------------------------------------------------------
@@ -852,9 +870,13 @@ class Smoe:
             eff = self._eff_from_rparams()
         else:
             eff = effective_params(self.params, self.cfg, self.musX_grid)
-        fn = self._compiled.eval_sweep_fn()
-        loss, mse, res, w_am, surv, probs, num_pi, sv_map = fn(
-            eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
+        fn = self._compiled.eval_sweep_fn(with_rec=bool(update_reconstruction))
+        if update_reconstruction:
+            loss, mse, res, w_am, surv, probs, num_pi, sv_map = fn(
+                eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
+        else:
+            loss, mse, surv, num_pi = fn(
+                eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
 
         # batch ALL device->host transfers into one jax.device_get — each
         # separate pull is a ~50 ms round trip through the remote-TPU tunnel
