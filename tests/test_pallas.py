@@ -283,6 +283,73 @@ class TestPackedSparse:
                 np.asarray(getattr(g_nocull, f)),
                 rtol=1e-6, atol=1e-30, err_msg=f)
 
+    def test_capped_dense_matches_uncapped(self):
+        """Capped-dense mode (k_cap < K): gathering only the listed kernels
+        and running the dense kernel at the narrow width must reproduce the
+        full-width fused forward and gradients exactly."""
+        from smoe_tpu.core.model import forward_fused
+        from smoe_tpu.core.params import assemble_A
+        from smoe_tpu.config import SmoeConfig
+        from smoe_tpu.core.init import init_params, gen_domain
+
+        rng = np.random.default_rng(13)
+        img = rng.uniform(0.2, 0.8, (16, 16, 1)).astype(np.float32)
+        cfg = SmoeConfig(dim_domain=2, num_channels=1,
+                         kernels_per_dim=(4, 4), use_yuv=False)
+        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
+        coords = jnp.asarray(gen_domain(img, 2).reshape(-1, 2))
+        kmask = np.zeros((params.capacity,), bool)
+        kmask[rng.choice(16, 7, replace=False)] = True   # 7 listed kernels
+        kmask = jnp.asarray(kmask)
+        tgt = jnp.asarray(img.reshape(-1, 1))
+
+        def loss(p, k_cap):
+            A = assemble_A(p, cfg)
+            out = forward_fused(A, p.musX, p.nu_e, p.gamma_e, p.pis, cfg,
+                                coords, kmask, interpret=True, k_cap=k_cap)
+            return jnp.mean((out.res - tgt) ** 2), out
+
+        (l_full, o_full), g_full = jax.value_and_grad(
+            loss, has_aux=True)(params, None)
+        (l_cap, o_cap), g_cap = jax.value_and_grad(
+            loss, has_aux=True)(params, 8)
+        np.testing.assert_array_equal(np.asarray(o_cap.res),
+                                      np.asarray(o_full.res))
+        np.testing.assert_array_equal(np.asarray(o_cap.survivors),
+                                      np.asarray(o_full.survivors))
+        np.testing.assert_array_equal(float(l_cap), float(l_full))
+        for f in ("musX", "a_diag", "pis", "nu_e", "gamma_e"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(g_cap, f)), np.asarray(getattr(g_full, f)),
+                err_msg=f)
+
+    def test_capped_trainer_sweep_matches_xla(self):
+        """Trainer sweeps with shrunken kernel lists engage the capped
+        branch (use_pallas=on forces the fused path on CPU) and track the
+        XLA trainer."""
+        from smoe_tpu.fit.trainer import Smoe
+
+        rng = np.random.default_rng(6)
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([0.5 + 0.3 * np.sin(4 * x),
+                        0.5 + 0.2 * np.cos(3 * y),
+                        np.full_like(x, 0.5)], -1).astype(np.float32)
+
+        def fit(mode):
+            s = Smoe(img, kernels_per_dim=[4], batch_size=(8, 8),
+                     use_pallas=mode)
+            s.set_optimizer()
+            # shrink the lists below the 128 bucket is impossible at K=16
+            # (k_pad=128 == capacity pad), so drive the cap decision
+            # directly: _current_k_cap must be None here...
+            assert s._current_k_cap() is None
+            l, m, *_ = s.run_batched_chunk(10)
+            return np.asarray(m)
+
+        m_on = fit("on")
+        m_off = fit("off")
+        np.testing.assert_allclose(m_on, m_off, rtol=2e-3)
+
     def test_training_sweep_with_packed_blocks(self):
         """Multi-block training on CPU uses the packed path (use_pallas=on,
         B>1) and converges."""
