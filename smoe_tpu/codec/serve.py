@@ -1,0 +1,135 @@
+"""Lean decode / serving path: dequantized parameters -> pixels.
+
+The reference decodes by rebuilding the whole training graph and feeding
+rescaled params into it (smoe_reconstruction_decoded.py:16-62); the CLI
+mirror of that (cli/decode.py) likewise instantiates the full trainer.
+For production serving that is wasteful: decoding needs ONE jitted
+function from a handful of small parameter arrays to the image.
+
+`make_decoder` builds exactly that: the canonical forward math
+(core/model.py) evaluated over the pixel grid in row-chunks (lax.map
+keeps peak memory at chunk x K), clipped and fake-quantized like the
+encoder's reconstruction, compiled once and reusable across frames /
+models of the same geometry.  Decoded output is bit-identical to
+`Smoe.get_qreconstruction` for a single-block fit (same op order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoe_tpu.config import SmoeConfig
+from smoe_tpu.core.init import gen_domain
+from smoe_tpu.core.model import (expert_regression, fake_quant_unit, gating,
+                                 maha_from_A)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_decoded_params(rp: dict, capacity: int, d: int, c: int) -> dict:
+    """Pad reduced (K' active) rescaler output to `capacity` slots
+    (dead slots pis=0) so one compiled decoder serves any model with
+    K' <= capacity."""
+    out = {}
+    k = int(np.asarray(rp["pis"]).shape[0])
+    assert k <= capacity, f"{k} kernels exceed decoder capacity {capacity}"
+
+    def pad(x, shape):
+        full = np.zeros((capacity,) + shape, np.float32)
+        full[:k] = np.asarray(x, np.float32).reshape((k,) + shape)
+        return full
+
+    out["A"] = pad(rp["A"], (d, d))
+    out["musX"] = pad(rp["musX"], (d,))
+    out["nu_e"] = pad(rp["nu_e"], (c,))
+    out["gamma_e"] = pad(rp["gamma_e"], (d, c))
+    out["pis"] = pad(rp["pis"], ())
+    return out
+
+
+def make_decoder(img_shape: Tuple[int, ...], channels: int,
+                 cfg: SmoeConfig, capacity: int,
+                 chunk_pixels: Optional[int] = None):
+    """Compile a decoder for one image geometry.
+
+    Returns fn(A (K,d,d), musX (K,d), nu_e (K,C), gamma_e (K,d,C),
+    pis (K,)) -> (*img_shape, channels) float image in [0,1], where
+    K == round_up(capacity, 128).  Call `pad_decoded_params` on the
+    rescaler output first.
+    """
+    d = cfg.dim_domain
+    assert len(img_shape) == d
+    n = int(np.prod(img_shape))
+    k_pad = _round_up(capacity, 128)
+    if chunk_pixels is None:
+        # keep the (chunk, K) gating map around 8 MB
+        chunk_pixels = max(1024, min(n, (8 << 20) // (4 * k_pad)))
+        chunk_pixels = _round_up(chunk_pixels, 256)
+    n_pad = _round_up(n, chunk_pixels)
+    coords = gen_domain(np.zeros(img_shape + (1,), np.float32), d)
+    coords = np.pad(coords.reshape(-1, d), ((0, n_pad - n), (0, 0)))
+    coords = jnp.asarray(coords.reshape(-1, chunk_pixels, d))
+
+    def pad_k(x):
+        pad = [(0, k_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad) if k_pad > x.shape[0] else x
+
+    @jax.jit
+    def decode(A, musX, nu_e, gamma_e, pis):
+        A, musX, nu_e, gamma_e, pis = (pad_k(jnp.asarray(v, jnp.float32))
+                                       for v in (A, musX, nu_e, gamma_e,
+                                                 pis))
+        mask = pis > 0
+        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+
+        def chunk_fn(c_blk):
+            maha = maha_from_A(A, musX, cfg, c_blk)
+            w_e = gating(maha, pis, diag_A, cfg, mask)
+            res = expert_regression(w_e, c_blk, nu_e, gamma_e, cfg)
+            res = jnp.clip(res, 0.0, 1.0)
+            return fake_quant_unit(res, cfg.precision)
+
+        res = jax.lax.map(chunk_fn, coords)
+        return res.reshape(-1, channels)[:n].reshape(img_shape + (channels,))
+
+    return decode
+
+
+def decode_bitstream(path: str, chunk_pixels: Optional[int] = None):
+    """One-call serving decode: .smoe file -> image (numpy)."""
+    from smoe_tpu.codec.bitstream import read_bitstream
+    from smoe_tpu.codec.quantize import rescaler
+
+    qp, header = read_bitstream(path)
+    img_shape = tuple(int(v) for v in np.ravel(header["shape_of_img"]))
+    c = int(np.ravel(header.get("dim_of_output", [3]))[0])
+    d = len(img_shape)
+    cfg = SmoeConfig(
+        dim_domain=d, num_channels=c,
+        kernels_per_dim=tuple(header["kernels_per_dim"])
+        if len(header["kernels_per_dim"]) > 1
+        else tuple(header["kernels_per_dim"]) * d,
+        precision=int(header.get("precision", 8)),
+        use_yuv=bool(header.get("use_yuv", True)) and c == 3,
+        use_determinant=bool(header.get("use_determinant", True)),
+        use_diff_center=bool(header.get("use_diff_center", False)),
+        radial_as=bool(header.get("radial_as", False)))
+    grid = None
+    if cfg.use_diff_center:
+        from smoe_tpu.core.init import generate_kernel_grid
+        g, _ = generate_kernel_grid(cfg)
+        used = np.asarray(qp["used_kernels"], bool)
+        grid = g[np.flatnonzero(used)]
+    rp = rescaler(qp, cfg, musX_grid=grid)
+    k = int(np.asarray(rp["pis"]).shape[0])
+    cap = _round_up(max(k, 1), 128)
+    padded = pad_decoded_params(rp, cap, d, c)
+    dec = make_decoder(img_shape, c, cfg, cap, chunk_pixels)
+    return np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
+                          padded["gamma_e"], padded["pis"]))
