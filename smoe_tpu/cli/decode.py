@@ -31,19 +31,24 @@ def main(args=None):
     with open(a.params_file, "rb") as fd:
         head = fd.read(4)
     if head == b"SMOE":
-        # entropy-coded bitstream (codec/bitstream.py)
+        # entropy-coded bitstream: the lean serving decoder handles this
+        # end to end (one compiled forward, chunked so memory is bounded —
+        # no OOM retry loop needed)
+        from smoe_tpu.codec.serve import decode_bitstream
         from smoe_tpu.codec.bitstream import read_bitstream
-        qp, header = read_bitstream(a.params_file)
-        cp = {**qp,
-              "shape_of_img": header["shape_of_img"],
-              "dim_of_output": header["dim_of_output"],
-              "use_yuv": header.get("use_yuv", True),
-              "use_determinant": header.get("use_determinant", True),
-              "use_diff_center": header.get("use_diff_center", False),
-              "radial_as": header.get("radial_as", False)}
-    else:
-        with open(a.params_file, "rb") as fd:
-            cp = pickle.load(fd)
+        rec = decode_bitstream(a.params_file)
+        _, header = read_bitstream(a.params_file)
+        os.makedirs(a.results_path, exist_ok=True)
+        c = int(np.ravel(header.get("dim_of_output", [3]))[0])
+        out = write_image(
+            rec, os.path.join(a.results_path, "output"),
+            len(header["shape_of_img"]),
+            yuv=bool(header.get("use_yuv", True)) and c == 3,
+            precision=int(header.get("precision", 8)))
+        print(f"wrote {out}")
+        return rec
+    with open(a.params_file, "rb") as fd:
+        cp = pickle.load(fd)
 
     img_shape = tuple(int(v) for v in np.ravel(cp["shape_of_img"]))
     c = int(np.ravel(cp.get("dim_of_output", [3]))[0])
