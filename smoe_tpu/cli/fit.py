@@ -273,6 +273,31 @@ def main(args=None):
         qparams=smoe.qparams if quant else None,
         losses=smoe.get_losses(), mses=smoe.get_mses(),
         num_pis=smoe.get_num_pis())
+    if quant and multihost.primary():
+        # self-contained entropy-coded bitstream of the final model —
+        # decodable by cli/decode or codec/serve.decode_bitstream alone
+        # (incl. trained motion + dual-model assignment for video)
+        from smoe_tpu.codec.bitstream import write_bitstream
+        extra = {"shape_of_img": list(orig.shape[:-1]),
+                 "dim_of_output": orig.shape[-1],
+                 "use_yuv": smoe.cfg.use_yuv,
+                 "use_determinant": smoe.cfg.use_determinant,
+                 "train_gammas": smoe.cfg.train_gammas}
+        if smoe.params.motion is not None:
+            from smoe_tpu.core.quant import apply_qat
+            extra["motion"] = np.asarray(
+                apply_qat(smoe.params, smoe.cfg).motion).tolist()
+            extra["num_params_model"] = int(smoe.cfg.num_params_model)
+            extra["num_frames"] = int(smoe.cfg.num_frames)
+            if smoe.model_mask is not None:
+                used = np.asarray(smoe.qparams["used_kernels"], bool)
+                extra["model_mask"] = np.asarray(
+                    smoe.model_mask)[used].astype(int).tolist()
+        bits = write_bitstream(
+            os.path.join(args.results_path, "model_last.smoe"),
+            smoe.qparams, smoe.cfg, extra=extra)
+        n_pix = int(np.prod(orig.shape[:-1]))
+        print(f"model_last.smoe: {bits} bits, bpp {bits / n_pix:.4f}")
     return smoe
 
 

@@ -64,14 +64,27 @@ def main(args=None):
         # real entropy-coded bitstream + rate (vs the raw-bits proxy)
         from smoe_tpu.codec.bitstream import write_bitstream
         from smoe_tpu.codec.quantize import rate_bits
+        extra = {"shape_of_img": list(orig.shape[:-1]),
+                 "dim_of_output": orig.shape[-1],
+                 "use_yuv": smoe.cfg.use_yuv,
+                 "use_determinant": smoe.cfg.use_determinant,
+                 "train_gammas": smoe.cfg.train_gammas}
+        if smoe.params.motion is not None:
+            # video: ship the (8-bit fake-quantized) per-frame motion
+            # params and the dual-model domain assignment of the USED
+            # kernels, so .smoe decodes videos without the original
+            from smoe_tpu.core.quant import apply_qat
+            extra["motion"] = np.asarray(
+                apply_qat(smoe.params, smoe.cfg).motion).tolist()
+            extra["num_params_model"] = int(smoe.cfg.num_params_model)
+            extra["num_frames"] = int(smoe.cfg.num_frames)
+            if smoe.model_mask is not None:
+                used = np.asarray(smoe.qparams["used_kernels"], bool)
+                extra["model_mask"] = np.asarray(
+                    smoe.model_mask)[used].astype(int).tolist()
         bits = write_bitstream(
             os.path.join(a.results_path, "model.smoe"), smoe.qparams,
-            smoe.cfg,
-            extra={"shape_of_img": list(orig.shape[:-1]),
-                   "dim_of_output": orig.shape[-1],
-                   "use_yuv": smoe.cfg.use_yuv,
-                   "use_determinant": smoe.cfg.use_determinant,
-                   "train_gammas": smoe.cfg.train_gammas})
+            smoe.cfg, extra=extra)
         n_pix = int(np.prod(orig.shape[:-1]))
         print(f"rate: {bits} bits coded "
               f"({rate_bits(smoe.qparams, smoe.cfg)} raw proxy), "

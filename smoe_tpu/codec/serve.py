@@ -55,13 +55,20 @@ def pad_decoded_params(rp: dict, capacity: int, d: int, c: int) -> dict:
 
 def make_decoder(img_shape: Tuple[int, ...], channels: int,
                  cfg: SmoeConfig, capacity: int,
-                 chunk_pixels: Optional[int] = None):
-    """Compile a decoder for one image geometry.
+                 chunk_pixels: Optional[int] = None,
+                 motion: Optional[np.ndarray] = None,
+                 model_mask: Optional[np.ndarray] = None):
+    """Compile a decoder for one image/video geometry.
 
     Returns fn(A (K,d,d), musX (K,d), nu_e (K,C), gamma_e (K,d,C),
     pis (K,)) -> (*img_shape, channels) float image in [0,1], where
     K == round_up(capacity, 128).  Call `pad_decoded_params` on the
     rescaler output first.
+
+    motion: (8, T) per-frame global-motion params for d==3 video — the
+    domain is motion-transformed exactly like training (video/motion.py).
+    model_mask: (capacity,) bool for dual-model video (kernels with False
+    gate on the raw domain).  Both baked into the compiled program.
     """
     d = cfg.dim_domain
     assert len(img_shape) == d
@@ -75,6 +82,13 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
     coords = gen_domain(np.zeros(img_shape + (1,), np.float32), d)
     coords = np.pad(coords.reshape(-1, d), ((0, n_pad - n), (0, 0)))
     coords = jnp.asarray(coords.reshape(-1, chunk_pixels, d))
+    motion_arr = None if motion is None \
+        else jnp.asarray(motion, jnp.float32)
+    mm = None
+    if model_mask is not None:
+        m = np.ones((k_pad,), bool)
+        m[:len(model_mask)] = np.asarray(model_mask, bool)
+        mm = jnp.asarray(m)
 
     def pad_k(x):
         pad = [(0, k_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
@@ -89,9 +103,17 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
         diag_A = jnp.diagonal(A, axis1=1, axis2=2)
 
         def chunk_fn(c_blk):
-            maha = maha_from_A(A, musX, cfg, c_blk)
+            c_in, c_raw = c_blk, None
+            if motion_arr is not None and d == 3:
+                from smoe_tpu.video.motion import transform_coords
+                c_in = transform_coords(c_blk, motion_arr,
+                                        cfg.num_params_model,
+                                        cfg.num_frames)
+                if mm is not None:
+                    c_raw = c_blk
+            maha = maha_from_A(A, musX, cfg, c_in, c_raw, mm)
             w_e = gating(maha, pis, diag_A, cfg, mask)
-            res = expert_regression(w_e, c_blk, nu_e, gamma_e, cfg)
+            res = expert_regression(w_e, c_in, nu_e, gamma_e, cfg)
             res = jnp.clip(res, 0.0, 1.0)
             return fake_quant_unit(res, cfg.precision)
 
@@ -119,7 +141,16 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None):
         use_yuv=bool(header.get("use_yuv", True)) and c == 3,
         use_determinant=bool(header.get("use_determinant", True)),
         use_diff_center=bool(header.get("use_diff_center", False)),
-        radial_as=bool(header.get("radial_as", False)))
+        radial_as=bool(header.get("radial_as", False)),
+        num_params_model=int(header.get("num_params_model", 8)),
+        num_frames=int(header.get("num_frames",
+                                  img_shape[2] if d == 3 else 0)))
+    motion = header.get("motion")
+    if motion is not None:
+        motion = np.asarray(motion, np.float32)
+    model_mask = header.get("model_mask")
+    if model_mask is not None:
+        model_mask = np.asarray(model_mask, bool)
     grid = None
     if cfg.use_diff_center:
         from smoe_tpu.core.init import generate_kernel_grid
@@ -130,6 +161,7 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None):
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)
-    dec = make_decoder(img_shape, c, cfg, cap, chunk_pixels)
+    dec = make_decoder(img_shape, c, cfg, cap, chunk_pixels,
+                       motion=motion, model_mask=model_mask)
     return np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
                           padded["gamma_e"], padded["pis"]))

@@ -20,6 +20,9 @@ def fitted():
     s.run_batched_chunk(30)
     s.qparams = quantize_params(s.get_params(), s.cfg)
     s.rparams = rescaler(s.qparams, s.cfg)
+    # decoder semantics: evaluate all active kernels (no survivor lists)
+    import jax.numpy as jnp
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
     return img, s
 
 
@@ -54,6 +57,57 @@ def test_serve_capacity_padding_invariant(fitted):
                                    padded["pis"])))
     np.testing.assert_allclose(recs[0], recs[1], atol=1e-6)
     np.testing.assert_allclose(recs[1], recs[2], atol=1e-6)
+
+
+def test_serve_video_with_motion_and_dual_model(tmp_path):
+    """Video decodes from the bitstream alone: trained motion params and
+    the dual-model domain assignment travel in the header (beyond the
+    reference, whose decoded path is image-only)."""
+    from smoe_tpu.codec.bitstream import write_bitstream
+    from smoe_tpu.core.quant import apply_qat
+
+    rng = np.random.default_rng(0)
+    h = w = 16
+    t = 4
+    y, x = np.mgrid[0:h, 0:w] / (h - 1)
+    frames = []
+    affines = []
+    for i in range(t):
+        dx = 0.08 * i
+        frames.append(0.5 + 0.3 * np.sin(6 * (x + dx)) * np.cos(4 * y))
+        affines.append(np.array([[1, 0, -dx * (w - 1)], [0, 1, 0]],
+                                np.float32))
+    vid = np.stack(frames, axis=2).astype(np.float32)[..., None]
+    vid = np.clip(vid, 0, 1)
+
+    s = Smoe(vid, kernels_per_dim=[3, 3, 2], use_yuv=False,
+             affines=np.stack(affines), quantize_pis=True)
+    s.set_optimizer()
+    s.run_batched_chunk(15)
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    s.rparams = rescaler(s.qparams, s.cfg)
+    # decoder semantics = evaluate ALL active kernels (the reference's
+    # decode re-initializes fresh kernel lists, not the trained survivor
+    # lists; serve skips lists entirely)
+    import jax.numpy as jnp
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    rec_ref = s.get_qreconstruction()
+
+    used = np.asarray(s.qparams["used_kernels"], bool)
+    path = str(tmp_path / "v.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(vid.shape[:3]),
+        "dim_of_output": [1],
+        "use_yuv": False,
+        "use_determinant": bool(s.cfg.use_determinant),
+        "motion": np.asarray(apply_qat(s.params, s.cfg).motion).tolist(),
+        "num_params_model": int(s.cfg.num_params_model),
+        "num_frames": int(s.cfg.num_frames),
+        "model_mask": np.asarray(s.model_mask)[used].astype(int).tolist(),
+    })
+    rec = decode_bitstream(path)
+    assert rec.shape == rec_ref.shape
+    np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
 
 
 def test_decode_bitstream_one_call(fitted, tmp_path):
