@@ -17,14 +17,17 @@ this model:
     (see fit_many below).
 
 Everything rides ICI collectives; there is no point-to-point communication.
-The Adam update runs inside shard_map on the kernel shards (elementwise), so
+The Adam update runs under GSPMD on the kernel shards (elementwise), so
 parameters, optimizer state, and gradients never leave their shard.
+
+The FULL-semantics multi-chip trainer lives in fit/trainer.py
+(`Smoe(mesh=...)` shards the block axis around the real per-block loss);
+this module provides the kernel-axis TP/EP step and the DP fan-out.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,11 +24,10 @@ set living on the RAW domain ("dual model", reference smoe.py:280-329);
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from smoe_tpu.config import SmoeConfig
 from smoe_tpu.video.motion import TIME_PLANE
 
 
