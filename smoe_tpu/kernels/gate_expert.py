@@ -87,37 +87,49 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     i = pl.program_id(0)
 
     phiT = phiT_ref[:]                        # (F, TN)
-    qT = qT_ref[:]                            # (F, K)
-    mask = mask_ref[:]                        # (1, K)
+    qT = qT_ref[:]                            # (F, K)  PRE-SCALED -0.5*mask*q
     pi_det = pi_det_ref[:]                    # (1, K)
     if bf16:
         phiT = phiT.astype(jnp.bfloat16)
         qT = qT.astype(jnp.bfloat16)
 
-    # maha[n, k] = sum_f phi[f, n] q[f, k], clamped >= 0 (the Cholesky form
-    # ||A^T (x-mu)||^2 is non-negative; cancellation must not let
-    # exp(-0.5*maha) overflow)
-    maha = jnp.maximum(jax.lax.dot_general(
+    # The caller pre-scales q' = -0.5 * mask * q (exact: power-of-two scale;
+    # dead kernels' rows zeroed so they cannot produce inf, smoe.py:738),
+    # so mh == -0.5 * max(maha, 0) with NO per-(pixel, kernel) multiplies —
+    # the gating chain is VPU-bound and every elementwise op here costs
+    # ~10% of the kernel.  min(., 0) is the maha >= 0 Cholesky clamp.
+    mh = jnp.minimum(jax.lax.dot_general(
         phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32), 0.0)   # (TN, K)
-    # mask inside the exp: dead kernels must not produce inf (smoe.py:738)
-    n_w = jnp.exp(-0.5 * (maha * mask)) * pi_det
+    n_w = jnp.exp(mh) * pi_det
     denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
     w = n_w / denom
     w = jnp.where(w > thr, w, 0.0)            # influence cull (smoe.py:825)
 
-    # survivor flags: OR over this tile's valid rows, accumulated over tiles
-    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * tile_n
-    w_valid = jnp.where(row < n_actual, w, 0.0)
-    tile_surv = jnp.max(w_valid, axis=0, keepdims=True)   # (1, K)
+    # survivor flags: OR over this tile's valid rows, accumulated over
+    # tiles.  Row masking (iota + compare + select over (TN, K)) only runs
+    # on the tail tile that actually contains padding.
+    def surv_update(w_s):
+        sv = jnp.max(w_s, axis=0, keepdims=True)       # (1, K)
 
-    @pl.when(i == 0)
-    def _():
-        surv_ref[:] = tile_surv
+        @pl.when(i == 0)
+        def _():
+            surv_ref[:] = sv
 
-    @pl.when(i > 0)
+        @pl.when(i > 0)
+        def _():
+            surv_ref[:] = jnp.maximum(surv_ref[:], sv)
+
+    full = (i + 1) * tile_n <= n_actual
+
+    @pl.when(full)
     def _():
-        surv_ref[:] = jnp.maximum(surv_ref[:], tile_surv)
+        surv_update(w)
+
+    @pl.when(jnp.logical_not(full))
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * tile_n
+        surv_update(jnp.where(row < n_actual, w, 0.0))
 
     # expert mix: res[n, c] = sum_j xe[j, n] * (w @ G)[n, j*C + c]
     wg = jnp.dot(w, G_ref[:], preferred_element_type=jnp.float32)  # (TN, E*C)
@@ -183,19 +195,18 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     i = pl.program_id(0)
 
     phiT = phiT_ref[:]
-    qT = qT_ref[:]
-    mask = mask_ref[:]
+    qT = qT_ref[:]                            # PRE-SCALED -0.5*mask*q
     pi_det = pi_det_ref[:]
     G = G_ref[:]
     g = g_ref[:]                              # (TN, C) cotangent of res
     phiT_c = phiT.astype(jnp.bfloat16) if bf16 else phiT
     qT_c = qT.astype(jnp.bfloat16) if bf16 else qT
 
-    # --- recompute forward tile ---
-    maha = jnp.maximum(jax.lax.dot_general(
+    # --- recompute forward tile (see _fwd_kernel for the q' prescale) ---
+    mh = jnp.minimum(jax.lax.dot_general(
         phiT_c, qT_c, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32), 0.0)
-    e_term = jnp.exp(-0.5 * (maha * mask))    # (TN, K)
+    e_term = jnp.exp(mh)                      # (TN, K)
     n_w = e_term * pi_det
     raw = jnp.sum(n_w, axis=1, keepdims=True)
     denom = jnp.maximum(floor, raw)
@@ -227,13 +238,15 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     live = (raw > floor).astype(jnp.float32)
     dn_w = (dwt - s * live) / denom                         # (TN, K)
 
-    # dpi_det += sum_n dn_w * e_term ; dmaha = -0.5 * dn_w * n_w
+    # dpi_det += sum_n dn_w * e_term; the kernel accumulates the gradient
+    # w.r.t. the PRE-SCALED q' (dmh = dn_w * n_w); the -0.5*mask chain
+    # factor is applied outside on the tiny (K, F) result
     dpi_tile = jnp.sum(dn_w * e_term, axis=0, keepdims=True)   # (1, K)
-    dmaha = -0.5 * dn_w * n_w * mask                           # (TN, K)
+    dmh = dn_w * n_w                                           # (TN, K)
 
-    # dq += dmaha^T @ phi   ((K, TN) x (TN, F))
+    # dq' += dmh^T @ phi   ((K, TN) x (TN, F))
     dq_tile = jax.lax.dot_general(
-        dmaha, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
+        dmh, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # (K, F)
 
     @pl.when(i == 0)
@@ -331,7 +344,10 @@ def _prep(phi, xe, q, G, pi_det, mask):
     n_pad = _round_up(n, tn)
     phiT = _pad_axis(_pad_axis(phi.T, 0, f_pad), 1, n_pad)
     xeT = _pad_axis(_pad_axis(xe.T, 0, e_pad), 1, n_pad)
-    q_p = _pad_axis(_pad_axis(q, 0, k_pad), 1, f_pad)
+    # prescale q' = -0.5 * mask * q: kills two per-(pixel, kernel) VPU
+    # multiplies in the kernels; exact (power-of-two scale, 0/1 mask)
+    q_s = q * (-0.5 * mask)[:, None]
+    q_p = _pad_axis(_pad_axis(q_s, 0, k_pad), 1, f_pad)
     G_p = _pad_axis(G, 0, k_pad)
     pi_p = _pad_axis(pi_det, 0, k_pad)
     m_p = _pad_axis(mask, 0, k_pad)
@@ -366,11 +382,13 @@ def _fused_bwd(thr, floor, n_actual, interpret, bf16, residuals, cts):
     c_dim = ec // xe.shape[1]
     phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
     g_pad = _pad_axis(g_res.astype(jnp.float32), 0, phiT.shape[1])
-    dq, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
-                            thr=thr, floor=floor, c_dim=c_dim,
-                            interpret=interpret, bf16=bf16)
+    dq_s, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
+                              thr=thr, floor=floor, c_dim=c_dim,
+                              interpret=interpret, bf16=bf16)
+    # chain factor of the q' = -0.5 * mask * q prescale (see _prep)
+    dq = dq_s[:k, :f] * (-0.5 * mask)[:, None]
     return (jnp.zeros_like(phi), jnp.zeros_like(xe),
-            dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask))
+            dq, dG[:k], dpi[:k], jnp.zeros_like(mask))
 
 
 fused_gate_expert.defvjp(_fused_fwd, _fused_bwd)

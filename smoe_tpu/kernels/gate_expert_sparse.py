@@ -89,8 +89,11 @@ def build_tile_desc(coords: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _lb_tile(desc_row, qT_t, fro_t, mask_t, f: int):
-    """Lower bound of maha over (pixel tile x kernel tile).  (1, KT)."""
-    maha_c = jnp.maximum(jax.lax.dot_general(
+    """Lower bound of maha over (pixel tile x kernel tile).  (1, KT).
+
+    qT_t carries the PRE-SCALED q' = -0.5 * mask * q (see _prep); the
+    exact -2x recovers maha at the tile center."""
+    maha_c = jnp.maximum(-2.0 * jax.lax.dot_general(
         desc_row, qT_t, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32), 0.0)         # (1, KT)
     r = desc_row[0, f]
@@ -134,10 +137,10 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
         @pl.when(live)
         def _():
             pd_t = pi_det_ref[:, sl]
-            maha = jnp.maximum(jax.lax.dot_general(
+            mh = jnp.minimum(jax.lax.dot_general(
                 phiT, q_t, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32), 0.0)
-            nw_t = jnp.exp(-0.5 * (maha * m_t)) * pd_t
+            nw_t = jnp.exp(mh) * pd_t
             nw_ref[:, sl] = nw_t
             den_ref[:] = den_ref[:] + jnp.sum(nw_t, axis=1, keepdims=True)
         return 0
@@ -212,12 +215,11 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
         @pl.when(live_j(j))
         def _():
             sl = pl.ds(j * KT, KT)
-            maha = jnp.maximum(jax.lax.dot_general(
+            mh = jnp.minimum(jax.lax.dot_general(
                 phiT, qT_ref[:, sl],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32), 0.0)
-            nw_t = jnp.exp(-0.5 * (maha * mask_ref[:, sl])) \
-                * pi_det_ref[:, sl]
+            nw_t = jnp.exp(mh) * pi_det_ref[:, sl]
             nw_ref[:, sl] = nw_t
             den_ref[:] = den_ref[:] + jnp.sum(nw_t, axis=1, keepdims=True)
         return 0
@@ -262,12 +264,12 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
             wt_t = nw_t / denom
             c_t = (wt_t > thr).astype(jnp.float32)
             w_t = wt_t * c_t
-            # recompute e_term = exp(-0.5 maha_m) exactly (nw/pd is unsafe
-            # for dead kernels with pd == 0, whose dpi still needs e_term)
-            maha = jnp.maximum(jax.lax.dot_general(
+            # recompute e_term exactly (nw/pd is unsafe for dead kernels
+            # with pd == 0, whose dpi still needs e_term)
+            mh = jnp.minimum(jax.lax.dot_general(
                 phiT, q_t, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32), 0.0)
-            e_t = jnp.exp(-0.5 * (maha * m_t))
+            e_t = jnp.exp(mh)
 
             dw_t = jax.lax.dot_general(
                 dwg, g_t, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -275,9 +277,11 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
             dwt_t = dw_t * c_t
             dn_t = (dwt_t - s * live_den) / denom
             dpi_t = jnp.sum(dn_t * e_t, axis=0, keepdims=True)     # (1, KT)
-            dmaha_t = -0.5 * dn_t * nw_t * m_t                      # (TN, KT)
+            # gradient w.r.t. the PRE-SCALED q'; the -0.5*mask chain factor
+            # is applied outside on the tiny (K, F) result
+            dmh_t = dn_t * nw_t                                     # (TN, KT)
             dq_t = jax.lax.dot_general(
-                dmaha_t, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
+                dmh_t, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (KT, F)
             dG_t = jax.lax.dot_general(
                 w_t, dwg, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -410,9 +414,11 @@ def _prep(phi, xe, q, G, pi_det, mask, desc, fro):
             f"desc {desc.shape} != {(n_tiles, 1, f_pad)} (use build_tile_desc)"
     if fro is None:
         fro = jnp.zeros((q.shape[0],), jnp.float32)
+    # prescale q' = -0.5 * mask * q (exact; see gate_expert._prep)
     return (_pad_axis(_pad_axis(phi.T, 0, f_pad), 1, n_pad),
             _pad_axis(_pad_axis(xe.T, 0, e_pad), 1, n_pad),
-            _pad_axis(_pad_axis(q, 0, k_pad), 1, f_pad),
+            _pad_axis(_pad_axis(q * (-0.5 * mask)[:, None], 0, k_pad),
+                      1, f_pad),
             _pad_axis(G, 0, k_pad),
             _pad_axis(pi_det, 0, k_pad),
             _pad_axis(mask, 0, k_pad),
@@ -465,10 +471,11 @@ def _bwd(thr, floor, n_actual, interpret, residuals, cts):
     c_dim = G.shape[1] // xe.shape[1]
     args = _prep(phi, xe, q, G, pi_det, mask, desc, fro)
     g_pad = _pad_axis(g_res.astype(jnp.float32), 0, args[0].shape[1])
-    dq, dG, dpi = _bwd_call(*args, g_pad, thr=thr, floor=floor,
-                            c_dim=c_dim, f_feat=f, interpret=interpret)
+    dq_s, dG, dpi = _bwd_call(*args, g_pad, thr=thr, floor=floor,
+                              c_dim=c_dim, f_feat=f, interpret=interpret)
+    dq = dq_s[:k, :f] * (-0.5 * mask)[:, None]   # q' prescale chain factor
     return (jnp.zeros_like(phi), jnp.zeros_like(xe),
-            dq[:k, :f], dG[:k], dpi[:k], jnp.zeros_like(mask),
+            dq, dG[:k], dpi[:k], jnp.zeros_like(mask),
             None if desc is None else jnp.zeros_like(desc),
             None if fro is None else jnp.zeros_like(fro))
 
