@@ -77,8 +77,7 @@ def main():
     # tunnel adds 30-300 ms of per-run round-trip jitter that would
     # otherwise dominate a sub-second metric.
     target_psnr = 32.0
-    t_to_target = None
-    total_t = None
+    best = None          # stats dict of the best run — reported as a unit
     for _ in range(3):
         s.reinit()
         t0 = time.time()
@@ -97,10 +96,14 @@ def main():
             if t_run is None and psnr >= target_psnr:
                 t_run = time.time() - t0
                 break
-        total_t = time.time() - t0
-        if t_run is not None:
-            t_to_target = t_run if t_to_target is None \
-                else min(t_to_target, t_run)
+        run = {"t": t_run if t_run is not None else time.time() - t0,
+               "reached": t_run is not None, "psnr": float(psnr),
+               "iters": iters, "npi": int(npi)}
+        # best = fastest run that reached the target, else fastest overall;
+        # all reported fields come from THIS run so the record is coherent
+        if best is None or (run["reached"], -run["t"]) > \
+                (best["reached"], -best["t"]):
+            best = run
 
     # ---- CPU reference point (same computation, host backend) ----
     cpu = jax.devices("cpu")[0]
@@ -110,20 +113,20 @@ def main():
     s_cpu.run_batched_chunk(3)         # warm it at the settled k_cap bucket
     t_iter_cpu = time_iters(s_cpu, 3)
 
-    evals_per_sec = n_pix * int(npi) / t_iter_warm
+    evals_per_sec = n_pix * best["npi"] / t_iter_warm
     speedup = t_iter_cpu / t_iter_warm
     out = {
         "metric": "wallclock_to_32dB_512x512_rgb",
-        "value": round(t_to_target if t_to_target is not None else total_t, 3),
+        "value": round(best["t"], 3),
         "unit": "s",
         "vs_baseline": round(speedup, 2),
-        "reached_32db": t_to_target is not None,
-        "final_psnr_db": round(float(psnr), 2),
-        "iters": iters,
+        "reached_32db": best["reached"],
+        "final_psnr_db": round(best["psnr"], 2),
+        "iters": best["iters"],
         "tpu_s_per_iter": round(t_iter_warm, 5),
         "cpu_s_per_iter": round(t_iter_cpu, 5),
         "pixel_kernel_evals_per_sec_per_chip": round(evals_per_sec, 0),
-        "active_kernels": int(npi),
+        "active_kernels": best["npi"],
     }
     print(json.dumps(out))
 

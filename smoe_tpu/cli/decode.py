@@ -35,9 +35,7 @@ def main(args=None):
         # end to end (one compiled forward, chunked so memory is bounded —
         # no OOM retry loop needed)
         from smoe_tpu.codec.serve import decode_bitstream
-        from smoe_tpu.codec.bitstream import read_bitstream
-        rec = decode_bitstream(a.params_file)
-        _, header = read_bitstream(a.params_file)
+        rec, header = decode_bitstream(a.params_file, return_header=True)
         os.makedirs(a.results_path, exist_ok=True)
         c = int(np.ravel(header.get("dim_of_output", [3]))[0])
         out = write_image(

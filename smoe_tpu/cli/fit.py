@@ -194,7 +194,17 @@ def main(args=None):
         import jax.numpy as jnp
         smoe.kernel_lists = jnp.ones_like(smoe.kernel_lists)
 
-    callbacks = [
+    # Result-writing callbacks write on process 0 only under multi-host:
+    # every process computes identical replicated state, so N hosts
+    # writing loss.png/panels/metrics.jsonl would race on shared storage
+    # and duplicate records on per-host disks.  The wrapper (rather than
+    # an empty list on non-primary) keeps `bool(callbacks)` — and with it
+    # the trainer's update_reconstruction programs — identical across
+    # processes, so every host runs the same collective device programs.
+    def _primary_write(fn):
+        return fn if multihost.primary() else (lambda smoe: None)
+
+    callbacks = [_primary_write(cb) for cb in (
         LossPlotter(path=os.path.join(args.results_path, "loss.png")).plot,
         ImagePlotter(path=args.results_path,
                      options=(["orig", "reconstruction", "gating",
@@ -204,7 +214,7 @@ def main(args=None):
                                "pis_hist"])).plot,
         ModelLogger(path=args.results_path).log,
         JsonlLogger(os.path.join(args.results_path, "metrics.jsonl")).log,
-    ]
+    )]
 
     if args.iterations:
         import contextlib

@@ -123,8 +123,13 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
     return decode
 
 
-def decode_bitstream(path: str, chunk_pixels: Optional[int] = None):
-    """One-call serving decode: .smoe file -> image (numpy)."""
+def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
+                     return_header: bool = False):
+    """One-call serving decode: .smoe file -> image (numpy).
+
+    return_header: also return the decoded bitstream header dict (so
+    callers that need output metadata don't entropy-decode twice).
+    """
     from smoe_tpu.codec.bitstream import read_bitstream
     from smoe_tpu.codec.quantize import rescaler
 
@@ -153,15 +158,24 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None):
         model_mask = np.asarray(model_mask, bool)
     grid = None
     if cfg.use_diff_center:
+        # Grid offsets of the used slots.  Slots beyond the init grid
+        # (inc insertions / video spares) carry their full center in the
+        # coded musX, i.e. their grid offset is 0 — same convention as
+        # the encoder (trainer.py zero-pads musX_grid to capacity) and
+        # the bitstream predictor (bitstream._musx_grid_pred).
         from smoe_tpu.core.init import generate_kernel_grid
         g, _ = generate_kernel_grid(cfg)
         used = np.asarray(qp["used_kernels"], bool)
-        grid = g[np.flatnonzero(used)]
+        idx = np.flatnonzero(used)
+        grid = np.zeros((idx.size, d), np.float32)
+        in_grid = idx < g.shape[0]
+        grid[in_grid] = g[idx[in_grid]]
     rp = rescaler(qp, cfg, musX_grid=grid)
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)
     dec = make_decoder(img_shape, c, cfg, cap, chunk_pixels,
                        motion=motion, model_mask=model_mask)
-    return np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
-                          padded["gamma_e"], padded["pis"]))
+    rec = np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
+                         padded["gamma_e"], padded["pis"]))
+    return (rec, header) if return_header else rec

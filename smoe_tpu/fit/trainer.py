@@ -786,6 +786,20 @@ class Smoe:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    @property
+    def kernel_lists(self):
+        return self._kernel_lists
+
+    @kernel_lists.setter
+    def kernel_lists(self, v):
+        # Lists assigned from outside the sweep (probe refresh, restore,
+        # hpc all-on reset, ...) may GROW, so the capped-dense width must
+        # be re-derived.  Sweep-internal survivor feedback shrinks only
+        # and writes _kernel_lists directly, keeping the cached cap (a
+        # still-valid upper bound) without a device->host pull per chunk.
+        self._kernel_lists = v
+        self._k_cap_cache = None
+
     def _current_k_cap(self) -> Optional[int]:
         """Static kernel-width cap for the capped-dense sparse mode: the max
         per-block kernel-list count, rounded up to the 128-lane bucket.
@@ -793,20 +807,25 @@ class Smoe:
         SOUND FOR A WHOLE CHUNK: within a compiled chunk the lists only
         shrink (each sweep replaces them with its influence-culling
         survivors, a subset of the evaluated kernels); they grow only
-        between chunks via update_kernel_list, after which this is
-        re-evaluated (a new bucket recompiles that sweep length once).
-        Measured at 1080p/K=576 this beats both an in-kernel dynamic
-        tile loop (90 ms) and a per-block lax.switch over width buckets
-        (43 ms): one wide static MXU matmul wins (33 ms vs 35 dense).
+        between chunks via update_kernel_list, after which the cache is
+        invalidated and this is re-evaluated (a new bucket recompiles that
+        sweep length once).  Measured at 1080p/K=576 this beats both an
+        in-kernel dynamic tile loop (90 ms) and a per-block lax.switch
+        over width buckets (43 ms): one wide static MXU matmul wins
+        (33 ms vs 35 dense).  The cap is cached until the lists can grow
+        (the device->host count pull is a ~50 ms round trip through the
+        remote-TPU tunnel — per chunk, it would rival the chunk itself).
         """
         pal = self._compiled.pallas
         if not pal[0] or (len(pal) > 2 and pal[2]):     # off / packed mode
             return None
-        counts = np.asarray(jnp.sum(self.kernel_lists, axis=1))
-        cap = int(counts.max()) if counts.size else 0
-        cap = max(128, -(-cap // 128) * 128)
-        k_pad = -(-self.cfg.capacity // 128) * 128
-        return cap if cap < k_pad else None
+        if self._k_cap_cache is None:
+            counts = np.asarray(jnp.sum(self._kernel_lists, axis=1))
+            cap = int(counts.max()) if counts.size else 0
+            cap = max(128, -(-cap // 128) * 128)
+            k_pad = -(-self.cfg.capacity // 128) * 128
+            self._k_cap_cache = (cap if cap < k_pad else None,)
+        return self._k_cap_cache[0]
 
     def run_batched_chunk(self, n_steps, pis_l1=0.0, u_l1=0.0,
                           sv_l1_sub_l2=0.0, sampling_percentage=100,
@@ -829,7 +848,9 @@ class Smoe:
             k_cap=self._current_k_cap())
         # reference trains with threshold 0 (smoe.py:1552, default :707)
         tsv = jnp.float32(0.0 if thr_sv is None else thr_sv)
-        (self.params, self.opt_state, self.inc_opt_state, self.kernel_lists,
+        # _kernel_lists direct: survivor feedback only shrinks the lists,
+        # so the cached capped-dense width stays a valid upper bound
+        (self.params, self.opt_state, self.inc_opt_state, self._kernel_lists,
          ys) = fn(self.params, self.opt_state, self.inc_opt_state,
                   self.kernel_lists, lw, reg, self.musX_grid,
                   self.model_mask, self.sampling_probs, self._next_rng(),
@@ -910,8 +931,9 @@ class Smoe:
 
     def _update_kernel_lists_from(self, survivors):
         """Per-block kernel lists <- influence-culling survivors
-        (reference smoe.py:1763-1766)."""
-        self.kernel_lists = survivors
+        (reference smoe.py:1763-1766).  Shrink-only: keeps the cached
+        capped-dense width (see `kernel_lists` setter)."""
+        self._kernel_lists = survivors
 
     def update_kernel_list(self, *_):
         """Probe block corners/edges, OR into the lists

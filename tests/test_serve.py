@@ -110,6 +110,62 @@ def test_serve_video_with_motion_and_dual_model(tmp_path):
     np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
 
 
+def test_decode_bitstream_diff_center_beyond_grid(tmp_path):
+    """use_diff_center + a used kernel BEYOND the init grid (what an inc
+    splice produces): such slots carry their full center with grid offset
+    0 (trainer zero-pads musX_grid to capacity).  The serving decoder
+    must apply the same convention instead of indexing the bare grid with
+    out-of-range slot indices."""
+    import jax.numpy as jnp
+    from smoe_tpu.codec.bitstream import write_bitstream
+
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.clip(.5 + .25 * np.sin(6 * x) * np.cos(5 * y)
+                  + .1 * (x > .5), 0, 1).astype(np.float32)[..., None]
+
+    s = Smoe(img, kernels_per_dim=[3], use_yuv=False, use_diff_center=True,
+             add_kernel_slots=18, quantize_pis=True)
+    s.set_optimizer()
+    for _ in range(5):
+        s.run_batched(train=True)
+
+    # enliven slot 12 — beyond the 9-row 3x3 grid, like an inc insertion:
+    # its params.musX holds the FULL center (grid offset 0 by convention)
+    p = s.params
+    grid_rows = 9
+    slot = 12
+    assert slot >= grid_rows
+    musX = np.asarray(p.musX).copy()
+    musX[slot] = [0.7, 0.3]
+    pis = np.asarray(p.pis).copy()
+    pis[slot] = float(pis[:9].mean())
+    a_diag = np.asarray(p.a_diag).copy()
+    a_diag[slot] = 8.0 * np.eye(2, dtype=np.float32)
+    nu_e = np.asarray(p.nu_e).copy()
+    nu_e[slot] = 0.6
+    s.params = p.replace(musX=jnp.asarray(musX), pis=jnp.asarray(pis),
+                         a_diag=jnp.asarray(a_diag),
+                         nu_e=jnp.asarray(nu_e))
+
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    used = np.asarray(s.qparams["used_kernels"], bool)
+    assert np.flatnonzero(used).max() >= grid_rows
+    s.rparams = rescaler(s.qparams, s.cfg,
+                         musX_grid=np.asarray(s.musX_grid)[used])
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    rec_ref = s.get_qreconstruction()
+
+    path = str(tmp_path / "dc.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(img.shape[:2]),
+        "dim_of_output": [1],
+        "use_yuv": False,
+        "use_determinant": bool(s.cfg.use_determinant),
+    })
+    rec = decode_bitstream(path)
+    np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
+
+
 def test_decode_bitstream_one_call(fitted, tmp_path):
     img, s = fitted
     from smoe_tpu.codec.bitstream import write_bitstream
