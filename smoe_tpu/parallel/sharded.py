@@ -182,7 +182,7 @@ def shard_inputs(mesh: Mesh, params: SmoeParams, coords, targets, klists):
 
 def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
              mesh: Optional[Mesh] = None, opt_cfg=None,
-             pis_l1=0.0, u_l1=0.0):
+             pis_l1=0.0, u_l1=0.0, block_shape=None):
     """Data-parallel RD-sweep fan-out: fit M independent SMoE models, one
     (or more) per device (SURVEY §2.2 DP row).
 
@@ -194,21 +194,26 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
     images: (M, *spatial, C) equal-shaped batch — repeat one image M times
             to sweep regularizer weights for an RD curve.
     pis_l1 / u_l1: scalar or (M,) per-model regularizer weights.
+    block_shape: pixels per block per dim (or set cfg.block_shape) — each
+            model sweeps its blocks with accumulated gradients and
+            per-block kernel lists, exactly like `Smoe`'s block training
+            (reference smoe.py:1145-1151, 1785-1790); default: global fit
+            (one block).  Lists refresh from influence-culling survivors
+            each sweep (reference smoe.py:1763-1766); the host-side probe
+            refresh (`Smoe.update_kernel_list`) has no analog here.
     Returns (batched final SmoeParams with leading M axis, (M,) final MSEs).
-
-    Each model is fit globally (one block, kernel lists all-on) — the RD
-    fan-out use case; block-partitioned fits belong to `Smoe(mesh=...)`.
     """
     import optax
     from smoe_tpu.config import OptConfig
-    from smoe_tpu.core.init import gen_domain, init_params
-    from smoe_tpu.fit.trainer import RegWeights, _block_loss, make_tx
+    from smoe_tpu.core.init import init_params
+    from smoe_tpu.fit.blocks import build_blockset, initialize_kernel_lists
+    from smoe_tpu.fit.trainer import (RegWeights, _block_loss,
+                                      effective_params, make_tx)
 
     assert not cfg.train_svs and not cfg.ssim_opt, \
         "fit_many fans out the plain pixel-loss fit"
     imgs = np.asarray(images, np.float32)
     m = imgs.shape[0]
-    d = cfg.dim_domain
     ps = [init_params(imgs[i], cfg) for i in range(m)]
     musX_grid = None
     if cfg.use_diff_center:
@@ -218,26 +223,61 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
     batched = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ps)
 
-    coords = jnp.asarray(gen_domain(imgs[0], d).reshape(-1, d))
-    targets = jnp.asarray(imgs.reshape(m, -1, imgs.shape[-1]))
+    # Block geometry is shared across models (equal shapes); the global fit
+    # is the one-block special case of the same sweep.
+    bs = block_shape or cfg.block_shape or None
+    if bs is not None:
+        assert cfg.overlap == 0, \
+            "fit_many block partitioning does not support overlap"
+    bset = build_blockset(imgs[0], cfg, bs)
+    coords = bset.coords                               # (B, Nb, d)
+    B = int(coords.shape[0])
+    targets = jnp.stack([
+        bset.targets if i == 0
+        else jnp.asarray(build_blockset(imgs[i], cfg, bs).targets)
+        for i in range(m)])                            # (m, B, Nb, C)
     r1 = jnp.broadcast_to(jnp.asarray(pis_l1, jnp.float32), (m,))
     r2 = jnp.broadcast_to(jnp.asarray(u_l1, jnp.float32), (m,))
 
     tx = make_tx(cfg, opt_cfg or OptConfig())
     opt_state = jax.vmap(tx.init)(batched)
-    kmasks = jnp.ones((m, cfg.capacity), bool)
-    block_padded = tuple(int(s) for s in imgs.shape[1:1 + d])
+    if B == 1:
+        kmasks = jnp.ones((m, 1, cfg.capacity), bool)
+    else:
+        # all models share the init-time lists (A/musX/pis inits are
+        # image-independent); survivor feedback diverges them per model
+        eff0 = effective_params(
+            jax.tree_util.tree_map(jnp.asarray, ps[0]), cfg, musX_grid)
+        kl0 = initialize_kernel_lists(eff0.A, eff0.musX, eff0.pis, cfg, bset)
+        kmasks = jnp.tile(kl0[None], (m, 1, 1))       # (m, B, K)
+    block_padded = bset.block_padded
+    bw = 1.0 / B
 
-    def one_step(p, s, kmask, tgt, w1, w2):
-        def loss_fn(pp):
-            return _block_loss(pp, cfg, coords, tgt, kmask, None, None,
-                               RegWeights(w1, w2, jnp.float32(0.0)),
-                               musX_grid, None, block_padded)
-        (l, (mse, surv, *_)), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    def one_step(p, s, km, tgt, w1, w2):
+        reg = RegWeights(w1, w2, jnp.float32(0.0))
+
+        def block_loss_fn(pp, c_blk, t_blk, kmask):
+            return _block_loss(pp, cfg, c_blk, t_blk, kmask, None, None,
+                               reg, musX_grid, None, block_padded)
+
+        grad_fn = jax.value_and_grad(block_loss_fn, has_aux=True)
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, p)
+
+        def body(carry, xs):
+            g_acc, l_acc, mse_acc = carry
+            c_blk, t_blk, kmask = xs
+            (l, (mse, surv, *_)), g = grad_fn(p, c_blk, t_blk, kmask)
+            g_acc = jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g)
+            return (g_acc, l_acc + bw * l, mse_acc + bw * mse), surv
+
+        # one sweep over the blocks with accumulated grads, one update
+        (g, l, mse), survs = jax.lax.scan(
+            body, (zero_g, jnp.float32(0.0), jnp.float32(0.0)),
+            (coords, tgt, km))
         upd, s = tx.update(g, s, p)
         # survivor feedback: next sweep skips influence-culled kernels
         # (reference smoe.py:1763-1766), same as the trainer's kernel lists
-        return optax.apply_updates(p, upd), s, surv, l, mse
+        return optax.apply_updates(p, upd), s, survs, l, mse
 
     @jax.jit
     def run(batched, opt_state, kmasks, targets, r1, r2):

@@ -239,6 +239,30 @@ class TestDataParallel:
         # amplified here; same-order tracking is the meaningful assertion
         np.testing.assert_allclose(mses[0], mse_a[-1], rtol=0.2)
 
+    def test_fit_many_blocked_matches_smoe(self):
+        """Block-partitioned fan-out: per-model block sweeps (accumulated
+        grads, per-block kernel lists, survivor feedback) must reproduce a
+        blocked Smoe run step for step.  vmap reassociates the block-scan
+        reductions, so parity is to float-order noise (the global one-block
+        case above stays bit-exact)."""
+        from smoe_tpu.fit.trainer import Smoe
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([.5 + .3 * np.sin(5 * x),
+                        .5 + .3 * np.cos(4 * y),
+                        .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+        s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 8))
+        s.set_optimizer()
+        s.run_batched_chunk(8, pis_l1=1e-4, u_l1=1e-6)
+        batched, _ = fit_many(img[None], s.cfg, steps=8,
+                              pis_l1=1e-4, u_l1=1e-6)   # blocks from cfg
+        p_ref = s.get_params()
+        s.params = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0]),
+                                          batched)
+        p_dp = s.get_params()
+        for k in p_ref:
+            np.testing.assert_allclose(p_dp[k], p_ref[k], atol=2e-4,
+                                       rtol=1e-3, err_msg=k)
+
     def test_fit_many_per_model_regularizers(self):
         """Per-model pis_l1 weights: a strong sparsifier must push down the
         total gating mass relative to none (the RD fan-out use case)."""
