@@ -69,7 +69,18 @@ def main(args=None):
         radial_as=bool(np.ravel(cp.get("radial_as", False))[0]),
         precision=precision)
 
-    batches = a.batches
+    # Size the first attempt from the dominant allocation — the per-block
+    # (Nb, K) gating map and its handful of same-shaped temporaries — so
+    # decode usually skips the reference's fail-and-double loop
+    # (smoe_reconstruction_decoded.py:41-50), which stays as the fallback.
+    n_pix = int(np.prod(img_shape))
+    k_cap = int(np.prod(k))
+    budget_bytes = 2 << 30                      # conservative HBM share
+    est = max(1, int(np.ceil(n_pix * k_cap * 4 * 6 / budget_bytes)))
+    batches = max(a.batches, 1 << (est - 1).bit_length())
+    if batches > a.batches:
+        print(f"memory estimate: starting with {batches} blocks "
+              f"({n_pix}px x {k_cap} kernel slots)")
     rec = None
     while rec is None:
         smoe = Smoe(orig, kernels_per_dim=k, start_batches=batches, **cfg_kw)
