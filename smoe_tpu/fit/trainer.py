@@ -107,6 +107,10 @@ def _sv_residual(coords: jnp.ndarray, sv_rows: jnp.ndarray,
     q_sv = kernel_quadratics(B_sv, coords)
     phi = quadratic_features(coords)
     maha = jnp.dot(phi, q_sv.T, preferred_element_type=jnp.float32)
+    # the quadratic form is PSD by construction; restore the invariant
+    # under f32 cancellation so exp(...) <= 1 (same clamp as the kernel
+    # gating path, core/model.py maha_from_A)
+    maha = jnp.maximum(maha, 0.0)
     kmat = jnp.exp(-0.5 * maha)
     sv_eff = sv_rows * (jnp.abs(sv_rows) >= thr_sv)
     res_sv = jnp.dot(kmat, sv_eff, preferred_element_type=jnp.float32)[:, 0]
@@ -522,13 +526,14 @@ class _Compiled:
         def eval_block(eff, svp, coords, targets, kmask, lw, reg,
                        model_mask, bidx, thr_sv):
             sv_add = jnp.zeros((coords.shape[0],), jnp.float32)
+            sv_eff = None
             if with_sv and svp is not None:
                 off = bidx * nb
                 sv_blk = (
                     jax.lax.dynamic_slice_in_dim(svp[0], off, nb),
                     jax.lax.dynamic_slice_in_dim(svp[1], off, nb),
                     jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
-                sv_add, _ = _sv_residual(coords, *sv_blk, thr_sv)
+                sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
             out = _forward_eff(eff, cfg, coords, kmask, model_mask,
                                fused=(False, False) if with_rec
                                else self.pallas,
@@ -560,6 +565,12 @@ class _Compiled:
             diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
             loss = loss + reg.u_l1 * jnp.sum(
                 jnp.where(active[:, None], diag_A, 0.0))
+            if sv_eff is not None:
+                # same objective as training (_block_loss): the reference's
+                # eval runs the one graph loss incl. the SV penalty
+                # (smoe.py:1029-1036, 1051)
+                loss = loss + L.sv_l1_sub_l2_reg(sv_eff, reg.sv_l1_sub_l2,
+                                                 nb)
             if not with_rec:
                 return loss, la.mse, out.survivors
             w_argmax = jnp.argmax(out.w_e, axis=1)
@@ -699,10 +710,13 @@ class Smoe:
         self.start_batches = int(self.bset.coords.shape[0])
         self.loss_mask = None
         if loss_mask is not None:
+            # blocked with the SAME overlap as coords/targets so per-block
+            # weights line up pixel for pixel (reference smoe.py:906-923)
             lm = loss_mask.reshape(loss_mask.shape[:dim] + (1,))
             from smoe_tpu.fit.blocks import _block_view
             self.loss_mask = jnp.asarray(
-                _block_view(lm.astype(np.float32), cfg.block_shape, 0)[..., 0])
+                _block_view(lm.astype(np.float32), cfg.block_shape,
+                            cfg.overlap)[..., 0])
 
         self.mesh = mesh
         self._coords_dev = self.bset.coords
@@ -742,7 +756,6 @@ class Smoe:
         self.best_qloss = None
         self.best_qmse = None
         self.best_params: Optional[Dict[str, np.ndarray]] = None
-        self.iter = 0
         self.valid = False
         self.qvalid = False
         self.reconstruction_image = None
@@ -835,7 +848,10 @@ class Smoe:
 
         Amortizes host<->device dispatch to once per chunk — the TPU-native
         replacement for the reference's per-block feed_dict round trips.
-        Returns per-step numpy arrays (loss, mse, num_pi, num_sv).
+        Returns per-step numpy arrays (loss, mse, num_pi, num_sv).  Like the
+        reference (metrics fetched in the accumulation run, train_op applied
+        after, smoe.py:1702/1788), each step's metrics describe the params
+        BEFORE that step's update.
         """
         if self.opt_state is None:
             self.set_optimizer()
@@ -998,6 +1014,11 @@ class Smoe:
         divergence guard, best-loss snapshot, callbacks."""
         if ukl_iter is None:
             ukl_iter = val_iter
+        if grad_clip_value_abs is not None and \
+                grad_clip_value_abs != self.opt_cfg.grad_clip_value_abs:
+            # the reference rebuilds its optimizers with the clip threaded
+            # through (smoe.py:1491); fresh state, same as there
+            self.set_optimizer(grad_clip_value_abs=grad_clip_value_abs)
         if self.opt_state is None:
             self.set_optimizer()
         # stitching + pulling the full reconstruction each validation only

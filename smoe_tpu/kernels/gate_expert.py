@@ -37,7 +37,9 @@ they would falls back to the XLA forward).
 
 Gradient semantics match the XLA path exactly: the cull mask (w > thr) and
 the denominator floor are straight-through constants (TF treats the cast
-compare and the max-with-constant the same way).
+compare and the max-with-constant the same way), and the maha >= 0 clamp
+backward uses jnp.minimum's exact subgradient (1 / 0.5 at the tie / 0
+where clamped) — see `clamp_f` in _bwd_kernel.
 """
 
 from __future__ import annotations
@@ -81,7 +83,7 @@ def _pad_axis(x, axis: int, to: int):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
+def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
                 res_ref, surv_ref, *, e_dim: int, c_dim: int, n_actual: int,
                 tile_n: int, thr: float, floor: float, bf16: bool):
     i = pl.program_id(0)
@@ -140,7 +142,7 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     res_ref[:] = res
 
 
-def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
+def _fwd_call(phiT, xeT, q, G, pi_det, *, thr, floor, c_dim,
               n_actual, interpret, bf16):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
@@ -167,8 +169,6 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
@@ -181,7 +181,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
             jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :])
+    )(phiT, xeT, q.T, G, pi_det[None, :])
     return res, surv
 
 
@@ -189,7 +189,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, *, thr, floor, c_dim,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
+def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
                 g_ref, dq_ref, dG_ref, dpi_ref, *, e_dim: int, c_dim: int,
                 thr: float, floor: float, bf16: bool):
     i = pl.program_id(0)
@@ -203,9 +203,10 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     qT_c = qT.astype(jnp.bfloat16) if bf16 else qT
 
     # --- recompute forward tile (see _fwd_kernel for the q' prescale) ---
-    mh = jnp.minimum(jax.lax.dot_general(
+    mh_raw = jax.lax.dot_general(
         phiT_c, qT_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32), 0.0)
+        preferred_element_type=jnp.float32)
+    mh = jnp.minimum(mh_raw, 0.0)             # maha >= 0 Cholesky clamp
     e_term = jnp.exp(mh)                      # (TN, K)
     n_w = e_term * pi_det
     raw = jnp.sum(n_w, axis=1, keepdims=True)
@@ -242,7 +243,12 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
     # w.r.t. the PRE-SCALED q' (dmh = dn_w * n_w); the -0.5*mask chain
     # factor is applied outside on the tiny (K, F) result
     dpi_tile = jnp.sum(dn_w * e_term, axis=0, keepdims=True)   # (1, K)
-    dmh = dn_w * n_w                                           # (TN, K)
+    # through the maha clamp with jnp.minimum's exact subgradient
+    # (1 below 0, 0.5 at the tie, 0 where clamped) so fused grads match
+    # the XLA path's jnp.maximum(maha, 0) on cancellation-negative maha
+    clamp_f = 0.5 * ((mh_raw < 0).astype(jnp.float32)
+                     + (mh_raw <= 0).astype(jnp.float32))
+    dmh = dn_w * n_w * clamp_f                                 # (TN, K)
 
     # dq' += dmh^T @ phi   ((K, TN) x (TN, F))
     dq_tile = jax.lax.dot_general(
@@ -262,7 +268,7 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref, mask_ref,
         dpi_ref[:] = dpi_ref[:] + dpi_tile
 
 
-def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
+def _bwd_call(phiT, xeT, q, G, pi_det, g, *, thr, floor, c_dim,
               interpret, bf16):
     f_pad, n_pad = phiT.shape
     e_pad = xeT.shape[0]
@@ -288,8 +294,6 @@ def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -307,7 +311,7 @@ def _bwd_call(phiT, xeT, q, G, pi_det, mask, g, *, thr, floor, c_dim,
             jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(phiT, xeT, q.T, G, pi_det[None, :], mask[None, :], g)
+    )(phiT, xeT, q.T, G, pi_det[None, :], g)
     return dq, dG, dpi[0]
 
 
@@ -350,8 +354,7 @@ def _prep(phi, xe, q, G, pi_det, mask):
     q_p = _pad_axis(_pad_axis(q_s, 0, k_pad), 1, f_pad)
     G_p = _pad_axis(G, 0, k_pad)
     pi_p = _pad_axis(pi_det, 0, k_pad)
-    m_p = _pad_axis(mask, 0, k_pad)
-    return phiT, xeT, q_p, G_p, pi_p, m_p
+    return phiT, xeT, q_p, G_p, pi_p
 
 
 def _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
@@ -359,8 +362,8 @@ def _fused_fwd_impl(phi, xe, q, G, pi_det, mask, thr, floor, n_actual,
     n, _ = phi.shape
     k = q.shape[0]
     c_dim = G.shape[1] // xe.shape[1]
-    phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
-    res, surv = _fwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, thr=thr,
+    phiT, xeT, q_p, G_p, pi_p = _prep(phi, xe, q, G, pi_det, mask)
+    res, surv = _fwd_call(phiT, xeT, q_p, G_p, pi_p, thr=thr,
                           floor=floor, c_dim=c_dim, n_actual=n_actual,
                           interpret=interpret, bf16=bf16)
     return res[:n], surv[0, :k]
@@ -380,9 +383,9 @@ def _fused_bwd(thr, floor, n_actual, interpret, bf16, residuals, cts):
     k = q.shape[0]
     ec = G.shape[1]
     c_dim = ec // xe.shape[1]
-    phiT, xeT, q_p, G_p, pi_p, m_p = _prep(phi, xe, q, G, pi_det, mask)
+    phiT, xeT, q_p, G_p, pi_p = _prep(phi, xe, q, G, pi_det, mask)
     g_pad = _pad_axis(g_res.astype(jnp.float32), 0, phiT.shape[1])
-    dq_s, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, m_p, g_pad,
+    dq_s, dG, dpi = _bwd_call(phiT, xeT, q_p, G_p, pi_p, g_pad,
                               thr=thr, floor=floor, c_dim=c_dim,
                               interpret=interpret, bf16=bf16)
     # chain factor of the q' = -0.5 * mask * q prescale (see _prep)

@@ -266,9 +266,10 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
             w_t = wt_t * c_t
             # recompute e_term exactly (nw/pd is unsafe for dead kernels
             # with pd == 0, whose dpi still needs e_term)
-            mh = jnp.minimum(jax.lax.dot_general(
+            mh_raw = jax.lax.dot_general(
                 phiT, q_t, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), 0.0)
+                preferred_element_type=jnp.float32)
+            mh = jnp.minimum(mh_raw, 0.0)
             e_t = jnp.exp(mh)
 
             dw_t = jax.lax.dot_general(
@@ -278,8 +279,13 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
             dn_t = (dwt_t - s * live_den) / denom
             dpi_t = jnp.sum(dn_t * e_t, axis=0, keepdims=True)     # (1, KT)
             # gradient w.r.t. the PRE-SCALED q'; the -0.5*mask chain factor
-            # is applied outside on the tiny (K, F) result
-            dmh_t = dn_t * nw_t                                     # (TN, KT)
+            # is applied outside on the tiny (K, F) result.  Through the
+            # maha clamp with jnp.minimum's exact subgradient (1 / 0.5 at
+            # the tie / 0 where clamped), matching the XLA path's
+            # jnp.maximum(maha, 0) autodiff
+            clamp_f = 0.5 * ((mh_raw < 0).astype(jnp.float32)
+                             + (mh_raw <= 0).astype(jnp.float32))
+            dmh_t = dn_t * nw_t * clamp_f                           # (TN, KT)
             dq_t = jax.lax.dot_general(
                 dmh_t, phiT, dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (KT, F)

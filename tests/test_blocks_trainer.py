@@ -275,3 +275,85 @@ class TestChunkedTrainer:
         s.reinit()
         np.testing.assert_allclose(np.asarray(s.params.musX), p0)
         assert s._compiled._train_fns == fns_before   # compile cache kept
+
+
+class TestLossMask:
+    def test_masked_pixels_excluded_from_gradients(self):
+        """Reference -mask semantics (smoe.py:906-923): zero-weighted pixels
+        contribute nothing, so two images differing only inside the masked
+        region train identically."""
+        from smoe_tpu.fit.trainer import Smoe
+
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = (0.5 + 0.3 * np.sin(5 * x) * np.cos(4 * y)
+               ).astype(np.float32)[..., None]
+        img2 = img.copy()
+        img2[:, :8] = 0.9                       # differs only where masked
+        mask = np.ones((16, 16), np.float32)
+        mask[:, :8] = 0.0
+
+        outs = []
+        init = None
+        for im in (img, img2):
+            s = Smoe(im, kernels_per_dim=[3], use_yuv=False, loss_mask=mask,
+                     init_params_dict=init)
+            if init is None:            # share the (image-derived) init
+                init = {"musX": np.asarray(s.params.musX),
+                        "A": np.asarray(s.params.a_diag + s.params.a_corr),
+                        "nu_e": np.asarray(s.params.nu_e),
+                        "gamma_e": np.asarray(s.params.gamma_e),
+                        "pis": np.asarray(s.params.pis)}
+            s.set_optimizer()
+            s.run_batched_chunk(3, use_loss_mask=True)
+            outs.append(np.asarray(s.params.musX))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_loss_mask_blocked_with_overlap(self):
+        """Regression: the per-block loss mask must be blocked with the SAME
+        overlap as coords/targets (it was blocked with overlap=0, so any
+        overlap > 0 fit with a mask mis-shaped the per-block weights)."""
+        from smoe_tpu.fit.trainer import Smoe
+
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = (0.5 + 0.3 * np.sin(5 * x) * np.cos(4 * y)
+               ).astype(np.float32)[..., None]
+        img2 = img.copy()
+        img2[:4, :4] = 0.1
+        mask = np.ones((16, 16), np.float32)
+        mask[:4, :4] = 0.0
+
+        outs = []
+        init = None
+        for im in (img, img2):
+            s = Smoe(im, kernels_per_dim=[3], use_yuv=False, loss_mask=mask,
+                     batch_size=(8, 8), overlap=2, init_params_dict=init)
+            if init is None:            # share the (image-derived) init
+                init = {"musX": np.asarray(s.params.musX),
+                        "A": np.asarray(s.params.a_diag + s.params.a_corr),
+                        "nu_e": np.asarray(s.params.nu_e),
+                        "gamma_e": np.asarray(s.params.gamma_e),
+                        "pis": np.asarray(s.params.pis)}
+            assert s.loss_mask.shape == s.bset.coords.shape[:2]
+            s.set_optimizer()
+            loss, *_ = s.run_batched_chunk(2, use_loss_mask=True)
+            assert np.all(np.isfinite(loss))
+            outs.append(np.asarray(s.params.musX))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_train_grad_clip_arg_is_applied(toy_image):
+    """train(grad_clip_value_abs=...) rebuilds the rig with the clip
+    (reference smoe.py:1491); it was silently ignored before."""
+    from smoe_tpu.fit.trainer import Smoe
+
+    clip = 1e-7
+    s = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+    s.set_optimizer()
+    s.train(2, val_iter=2, grad_clip_value_abs=clip)
+    assert s.opt_cfg.grad_clip_value_abs == clip
+    # with |g| <= clip, one Adam step moves each coord by at most ~lr
+    s2 = Smoe(toy_image, kernels_per_dim=[3], use_yuv=False)
+    s2.set_optimizer()
+    s2.train(2, val_iter=2)
+    d_clip = np.abs(np.asarray(s.params.nu_e) - np.asarray(s2.params.nu_e))
+    assert d_clip.max() > 0                     # the two runs diverge

@@ -121,6 +121,42 @@ def test_pallas_interpret_matches_reference_op():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_clamp_gradients_match_reference():
+    """Gradient parity THROUGH the maha >= 0 clamp: with indefinite random
+    q roughly half the (pixel, kernel) maha entries clamp at 0, and the
+    backward kernel must zero those entries' q/pi gradients exactly like
+    jnp autodiff of jnp.maximum(maha, 0) (the clamped region is precisely
+    the f32-cancellation hazard the clamp exists for)."""
+    rng = np.random.default_rng(13)
+    n, f, k, e, c = 64, 7, 9, 3, 2
+    phi = jnp.asarray(rng.normal(0, 1, (n, f)), jnp.float32)
+    xe = jnp.asarray(rng.normal(0, 1, (n, e)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 1, (k, f)), jnp.float32)
+    G = jnp.asarray(rng.normal(0, 1, (k, e * c)), jnp.float32)
+    pi_det = jnp.asarray(rng.uniform(0.1, 0.5, (k,)), jnp.float32)
+    mask = jnp.ones((k,), jnp.float32)
+    wts = jnp.asarray(rng.normal(0, 1, (n, c)), jnp.float32)
+
+    def loss_f(q, pi_det):
+        res, _ = fused_gate_expert(phi, xe, q, G, pi_det, mask,
+                                   1e-3, 1e-11, n, True)
+        return jnp.sum(res * wts)
+
+    def loss_r(q, pi_det):
+        res, _ = gate_expert_reference(phi, xe, q, G, pi_det, mask,
+                                       1e-3, 1e-11)
+        return jnp.sum(res * wts)
+
+    maha = np.asarray(phi @ q.T)
+    assert (maha < 0).any() and (maha > 0).any(), "clamp not exercised"
+    gq_f, gp_f = jax.grad(loss_f, (0, 1))(q, pi_det)
+    gq_r, gp_r = jax.grad(loss_r, (0, 1))(q, pi_det)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_in_training_sweep():
     """End-to-end: a few fused-path training steps reduce the loss and stay
     finite (use_pallas='on' -> interpret mode on CPU)."""
