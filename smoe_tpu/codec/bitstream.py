@@ -358,14 +358,28 @@ def _symbol_stream(qparams: Dict, bit_depths,
                  uncertain — e.g. gamma_e concentrates at quantized 0.0)
     Residuals are zigzag-mapped (one extra magnitude bit); the mode per
     param goes into the header so decode is exact either way.
+
+    Values outside [0, 2^b) are possible under fixed-bound quantization
+    (QM2): the reference quantizer never clips (quantizer.py:58-77), so
+    clipping here would decode differently from the in-memory qparams.
+    Such streams are shifted by their minimum and coded at a widened
+    width, recorded in the `ranges` header entry (absent = in-range).
     """
     vals, nbits, group, modes = [], [], [], {}
+    ranges = {}
     for name in _ORDER:
         if name not in qparams:
             continue
         v = _structural(name, np.asarray(qparams[name]))
         b = int(bit_depths[_BD_INDEX[name]])
-        v = np.clip(np.round(v), 0, (1 << b) - 1).astype(np.uint32)
+        v64 = np.round(v).astype(np.int64)
+        lo = int(min(v64.min(), 0)) if v.size else 0
+        hi = int(max(v64.max(), 0)) if v.size else 0
+        if lo < 0 or hi >= (1 << b):
+            b = max(int(hi - lo).bit_length(), 1)
+            ranges[name] = [lo, b]
+            v64 = v64 - lo
+        v = v64.astype(np.uint32)
         cands = {"raw": (v, b)}
         if v.size:
             med = int(np.median(v))
@@ -388,7 +402,7 @@ def _symbol_stream(qparams: Dict, bit_depths,
         nbits.append(np.full(v.size, b, np.uint8))
         group.append(np.full(v.size, _GROUP_BITS[name], np.uint8))
     return (np.concatenate(vals), np.concatenate(nbits),
-            np.concatenate(group), modes)
+            np.concatenate(group), modes, ranges)
 
 
 def write_bitstream(path: str, qparams: Dict, cfg,
@@ -407,11 +421,12 @@ def write_bitstream(path: str, qparams: Dict, cfg,
               for n in _ORDER if n in qparams}
     num_kernels = int(np.count_nonzero(
         np.asarray(qparams["used_kernels"], bool)))
-    vals, nbits, group, modes = _symbol_stream(qparams, bd, num_kernels,
-                                               cfg=cfg)
+    vals, nbits, group, modes, ranges = _symbol_stream(
+        qparams, bd, num_kernels, cfg=cfg)
     header = {
         "version": 2,
         "modes": modes,
+        **({"ranges": ranges} if ranges else {}),
         "num_kernels": num_kernels,
         "dim_domain": cfg.dim_domain,
         "radial_as": bool(cfg.radial_as),
@@ -456,14 +471,15 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
     bd = header["bit_depths"]
     shapes = header["shapes"]
     modes = header.get("modes", {})             # absent in version-1 files
+    ranges = header.get("ranges", {})           # out-of-range QM2 streams
     num_kernels = int(header.get("num_kernels", 0))
     nbits, group = [], []
     for name in _ORDER:
         if name not in shapes:
             continue
         n = _structural_size(name, shapes[name])
-        b = bd[_BD_INDEX[name]] + (1 if modes.get(name, "raw") != "raw"
-                                   else 0)
+        base = ranges[name][1] if name in ranges else bd[_BD_INDEX[name]]
+        b = base + (1 if modes.get(name, "raw") != "raw" else 0)
         nbits.append(np.full(n, b, np.uint8))
         group.append(np.full(n, _GROUP_BITS[name], np.uint8))
     nbits = np.concatenate(nbits)
@@ -499,6 +515,8 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
                 qparams["upper_bounds"]["musX"],
                 int(qparams["steps"]["musX"]), qparams["used_kernels"])
             raw = (_unzigzag(raw) + pred).astype(np.uint32)
+        if name in ranges:      # undo the out-of-range shift (signed ints)
+            raw = raw.astype(np.int64) + int(ranges[name][0])
         qzero = None
         if name in ("A_diagonal", "A_corr") and len(shapes[name]) == 3:
             from smoe_tpu.codec.quantize import RANGE_EPS

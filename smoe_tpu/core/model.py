@@ -263,8 +263,10 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
     Numerically equivalent to gating() + expert_regression() with the
     (N, K) intermediates kept in VMEM (see kernels/gate_expert.py).  Does
     not produce the dense w_e map (eval uses the XLA path for that).
-    Restrictions: no dual-model mask, coords carry no gradient (so not for
-    train_trafo video).
+    Dual-model video is supported (coords_raw + model_mask fold the
+    per-kernel domain select into 2F-wide features, see
+    dual_domain_features).  Restriction: coords carry no gradient, so not
+    for train_trafo video.
 
     packed: sort active kernels first and skip inactive kernel tiles
     entirely (kernels/gate_expert_sparse.py) — compute scales with the

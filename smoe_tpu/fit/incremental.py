@@ -96,7 +96,11 @@ def error_map(smoe) -> np.ndarray:
 def reinit_inc(smoe, plot_dir: Optional[str] = None,
                threshold_rel: float = 0.2) -> None:
     """Refill the inc kernel block from error-map peaks
-    (reference smoe.py:1405-1477)."""
+    (reference smoe.py:1405-1477).
+
+    threshold_rel is accepted but unused, faithfully: the reference's live
+    path calls peak_local_max(num_peaks, min_distance) only — its
+    threshold_rel use is commented out (smoe.py:1326-1334 vs :1377)."""
     cfg = smoe.cfg
     assert cfg.add_kernel_slots > 0, "model built without add_kernel_slots"
     num_inc = smoe.num_inc_kernels
@@ -126,6 +130,8 @@ def reinit_inc(smoe, plot_dir: Optional[str] = None,
         live = live[live > 0]
         pis_inc[:n] = np.median(live) if live.size else 1.0 / cfg.start_pis
         nu_inc[:n] = smoe.image[tuple(peaks[:, :d].T)]
+        # only the first TWO diagonal entries, like the reference
+        # (smoe.py:1428-1429) — its inc path is written for 2D images
         for i in range(min(d, 2)):
             a_diag_inc[:n, i, i] = a
 
@@ -152,7 +158,12 @@ def reinit_inc(smoe, plot_dir: Optional[str] = None,
 
 def apply_inc(smoe) -> None:
     """Splice inc rows into the main block at kernel_count and reset the inc
-    optimizer state (reference smoe.py:1479-1483)."""
+    optimizer state (reference smoe.py:1479-1483).
+
+    The inc tail keeps its (live) values after the splice, faithfully: the
+    reference's forward concatenates main and inc variables (smoe.py:459+)
+    and apply_inc only copies inc -> main (smoe.py:442-452), so the tail
+    stays active there too until the next reinit_inc overwrites it."""
     cfg = smoe.cfg
     num_inc = smoe.num_inc_kernels
     cap = smoe.params.capacity

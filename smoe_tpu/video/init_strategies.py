@@ -38,6 +38,14 @@ def warp_domain(image: np.ndarray, affines: np.ndarray,
     image: (H, W, T, C); affines: (T, 2|3, 3) pixel-unit cv2-style matrices
     (translations scaled by the image size like reference smoe.py:1899-1913).
     Returns (H, W, T, 3) warped [y, x, t=TIME_PLANE] coordinates.
+
+    DELIBERATE DEVIATION: the reference's do_perspectiveTransform divides
+    the x translation by (H-1) and the y translation by (W-1)
+    (smoe.py:1901-1908) — swapped relative to its OWN training transform,
+    which initializes h13 = tx/(W-1), h23 = ty/(H-1) (smoe.py:560-566).
+    We normalize like the training transform so the init warp and the
+    trained gating agree (warp_domain == transform_coords, invisible on
+    square frames, misplaces init kernels on non-square ones otherwise).
     """
     h, w, t = image.shape[:3]
     yy = np.linspace(0.0, 1.0, h)[:, None, None]
@@ -51,11 +59,11 @@ def warp_domain(image: np.ndarray, affines: np.ndarray,
             xd = x[:, :, ti] + m[0, 2] / (w - 1)
             yd = y[:, :, ti] + m[1, 2] / (h - 1)
         elif num_params_model == 4:
-            xd = m[0, 0] * x[:, :, ti] + m[0, 1] * y[:, :, ti] + m[0, 2] / (h - 1)
-            yd = -m[0, 1] * x[:, :, ti] + m[0, 0] * y[:, :, ti] + m[1, 2] / (w - 1)
+            xd = m[0, 0] * x[:, :, ti] + m[0, 1] * y[:, :, ti] + m[0, 2] / (w - 1)
+            yd = -m[0, 1] * x[:, :, ti] + m[0, 0] * y[:, :, ti] + m[1, 2] / (h - 1)
         else:
-            yd = m[1, 0] * x[:, :, ti] + m[1, 1] * y[:, :, ti] + m[1, 2] / (w - 1)
-            xd = m[0, 0] * x[:, :, ti] + m[0, 1] * y[:, :, ti] + m[0, 2] / (h - 1)
+            yd = m[1, 0] * x[:, :, ti] + m[1, 1] * y[:, :, ti] + m[1, 2] / (h - 1)
+            xd = m[0, 0] * x[:, :, ti] + m[0, 1] * y[:, :, ti] + m[0, 2] / (w - 1)
             if num_params_model == 8 and affines.shape[1] == 3:
                 wd = m[2, 0] * x[:, :, ti] + m[2, 1] * y[:, :, ti] + 1.0
                 xd = xd / wd
@@ -94,7 +102,12 @@ def _flat_grid(kpd, dims: int) -> np.ndarray:
 
 def _tile_over_extent(centers: np.ndarray, warped: np.ndarray) -> np.ndarray:
     """Replicate a [0,1]-grid over all integer (y, x) shifts covering the
-    warped coordinate extent (reference smoe.py:1969-1983)."""
+    warped coordinate extent (reference smoe.py:1969-1983).
+
+    The lower shift uses sign(min)*ceil(|min|) exactly like the reference
+    (smoe.py:1969-1972) — for a POSITIVE fractional minimum this rounds
+    away from zero (0.3 -> 1), skipping the first tile; kmeans then assigns
+    those pixels to the nearest remaining centers, as in the reference."""
     mn_y = np.sign(warped[..., 0].min()) * np.ceil(abs(warped[..., 0].min()))
     mn_x = np.sign(warped[..., 1].min()) * np.ceil(abs(warped[..., 1].min()))
     mx_y = np.ceil(warped[..., 0].max())
@@ -158,8 +171,16 @@ def video_kernel_init(image: np.ndarray, warped: np.ndarray,
         flat = _tile_over_extent(_flat_grid(kpd, 2), warped)
         _, labels = kmeans2(yx, flat, 1)
         sites = np.unique(labels)
-        # kernels per site from luminance variance (smoe.py:1988-1994)
-        lum_var = np.array([lum[labels == s].var() for s in sites])
+        # kernels per site from luminance variance (smoe.py:1988-1994);
+        # one bincount pass: var = E[x^2] - E[x]^2 per label, O(N) instead
+        # of a full boolean scan per site
+        nmax = int(labels.max()) + 1
+        cnt = np.bincount(labels, minlength=nmax).astype(np.float64)
+        s1 = np.bincount(labels, weights=lum, minlength=nmax)
+        s2 = np.bincount(labels, weights=lum.astype(np.float64) ** 2,
+                         minlength=nmax)
+        safe = np.maximum(cnt, 1.0)
+        lum_var = np.maximum(s2 / safe - (s1 / safe) ** 2, 0.0)[sites]
         varspace = np.linspace(lum_var.min(), lum_var.max(), kpd[2])
         n_per_site = np.argmin(
             np.abs(lum_var[None, :] - varspace[:, None]), axis=0) + 1
@@ -168,6 +189,11 @@ def video_kernel_init(image: np.ndarray, warped: np.ndarray,
         for i, s in enumerate(sites):
             tc = tcoord_plane[labels == s]
             if len(np.unique(tc)) == 1:
+                # the warped t is the constant TIME_PLANE, so this always
+                # fires and each site gets ONE kernel — faithfully mirrors
+                # the reference, whose identical guard (smoe.py:1994-1995)
+                # makes its variance-driven multi-kernel branches
+                # unreachable for the same reason (t := -5, smoe.py:1897)
                 n_per_site[i] = 1
             if n_per_site[i] == 1:
                 if init_flag % 1 == 0.5:

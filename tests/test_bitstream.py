@@ -76,6 +76,32 @@ def test_container_roundtrip(tmp_path, toy_rgb):
     assert nbits_payload < rate_bits(q, s.cfg) * 1.5 + 512
 
 
+def test_out_of_range_qm2_values_roundtrip(tmp_path, toy_rgb):
+    """Fixed-bound (QM2) quantization never clips in the reference
+    (quantizer.py:58-77), so quantized integers can fall outside
+    [0, 2^b); the bitstream must carry them losslessly via the `ranges`
+    header instead of clipping."""
+    from smoe_tpu.fit.trainer import Smoe
+
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+    q = quantize_params(s.get_params(), s.cfg)
+    # force out-of-range integers like a below-lower-bound / above-upper-
+    # bound trained param would produce
+    q["musX"] = np.asarray(q["musX"], np.float64).copy()
+    q["musX"][0, 0] = -7.0
+    q["nu_e"] = np.asarray(q["nu_e"], np.float64).copy()
+    q["nu_e"][1, 0] = float((1 << s.cfg.bit_depths[2]) + 5)
+
+    path = str(tmp_path / "oor.smoe")
+    bs.write_bitstream(path, q, s.cfg)
+    q2, header = bs.read_bitstream(path)
+    assert "ranges" in header and "musX" in header["ranges"]
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q[name]).round(), np.asarray(q2[name]),
+            err_msg=f"{name} mismatch after out-of-range roundtrip")
+
+
 def test_interkernel_prediction_beats_proxy(tmp_path):
     """At production kernel counts the predicted+entropy-coded rate must be
     meaningfully below the raw-bits proxy at identical decoded values

@@ -52,6 +52,32 @@ def test_motion_from_affines_matches_transform():
     np.testing.assert_allclose(out, warped, atol=1e-5)
 
 
+@pytest.mark.parametrize("npm", [2, 4, 6])
+def test_warp_matches_transform_non_square(npm):
+    """warp_domain (init) and transform_coords (training) must agree on
+    NON-square frames too — the reference's init warp normalizes the
+    translations with H/W swapped relative to its own training transform
+    (smoe.py:1901-1908 vs :560-566); we deviate toward consistency."""
+    rng = np.random.default_rng(4)
+    h, w, t = 12, 20, 3
+    vid = rng.uniform(0, 1, (h, w, t, 1)).astype(np.float32)
+    aff = np.zeros((t, 2, 3), np.float32)
+    for i in range(t):
+        aff[i, 0, 0] = aff[i, 1, 1] = 1.0
+        aff[i, 0, 2] = 3.0 * i        # x translation, pixels
+        aff[i, 1, 2] = -2.0 * i       # y translation, pixels
+        if npm >= 4:
+            aff[i, 0, 1] = 0.05 * i
+    m = motion_from_affines(aff, vid.shape)
+    ys, xs, ts = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                             np.linspace(0, 1, t), indexing="ij")
+    coords = jnp.asarray(np.stack([ys, xs, ts], -1).reshape(-1, 3),
+                         jnp.float32)
+    out = np.asarray(transform_coords(coords, jnp.asarray(m), npm, t))
+    warped = warp_domain(vid, aff, npm).reshape(-1, 3)
+    np.testing.assert_allclose(out, warped, atol=1e-5)
+
+
 @pytest.mark.parametrize("flag", [1, 2, 2.5, 3, 4, 5])
 def test_video_kernel_init_strategies(flag):
     vid, aff = make_video()
