@@ -182,7 +182,8 @@ def main(args=None):
         from smoe_tpu.io.images import write_image
         out = write_image(smoe.get_reconstruction(),
                           os.path.join(args.results_path, "reconstruction"),
-                          orig.ndim - 1, yuv=use_yuv)
+                          orig.ndim - 1, yuv=use_yuv,
+                          precision=smoe.cfg.precision)
         print(f"wrote {out}")
         return smoe
 
@@ -242,6 +243,9 @@ def main(args=None):
                     print(f"reseed stopped: {e}")
                     break
                 its = args.reseed_iterations * (5 if kk == kpd[2] - 1 else 1)
+                # like the reference, the reseed/inc retrains do NOT thread
+                # the loss mask (smoe_test.py:204/239/241 pass no
+                # use_loss_mask; only the first train, :119-120, does)
                 smoe.train(its, val_iter=args.validation_iterations,
                            ukl_iter=args.update_kernel_list_iterations,
                            pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
@@ -276,13 +280,13 @@ def main(args=None):
         smoe.get_best_params(), smoe.cfg,
         qparams=smoe.qparams if quant else None,
         losses=smoe.get_losses(), mses=smoe.get_mses(),
-        num_pis=smoe.get_num_pis())
+        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
     multihost.save_model_primary(
         save_model, os.path.join(args.results_path, "params_last.pkl"),
         smoe.get_params(), smoe.cfg,
         qparams=smoe.qparams if quant else None,
         losses=smoe.get_losses(), mses=smoe.get_mses(),
-        num_pis=smoe.get_num_pis())
+        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
     if quant and multihost.primary():
         # self-contained entropy-coded bitstream of the final model —
         # decodable by cli/decode or codec/serve.decode_bitstream alone

@@ -32,16 +32,38 @@ def main(args=None):
     from smoe_tpu.codec.quantize import quantize_params, rescaler
     from smoe_tpu.io.images import read_image, write_image
 
-    orig, precision, _ = read_image(a.image_path)
     cp = load_model(a.params_file)
     params = cp["params"]
+    use_yuv = bool(cp.get("use_yuv", True))
+    orig, precision, _ = read_image(a.image_path, use_yuv=use_yuv)
+
+    # rebuild with the checkpoint's codec metadata so re-quantization uses
+    # the SAME grid as the training fake-quant (bounds, quantize_pis) and
+    # video models keep their motion transform (reference loses both:
+    # smoe_reconstruction.py:29 rebuilds with defaults)
+    cfg_kw = dict(
+        use_yuv=use_yuv and orig.shape[-1] == 3,
+        use_determinant=bool(cp.get("use_determinant", True)),
+        use_diff_center=bool(cp.get("use_diff_center", False)),
+        only_y_gamma=bool(cp.get("only_y_gamma", False)),
+        radial_as=bool(cp.get("radial_as",
+                               np.asarray(params["A_diagonal"]).ndim == 1)),
+        quantize_pis=bool(cp.get("quantized_pis", False)),
+        precision=precision, bit_depths=tuple(a.bit_depths),
+        quantization_mode=int(cp.get("quantization_mode", 0)))
+    if cp.get("lower_bounds") is not None:
+        cfg_kw["lower_bounds"] = tuple(cp["lower_bounds"])
+    if cp.get("upper_bounds") is not None:
+        cfg_kw["upper_bounds"] = tuple(cp["upper_bounds"])
+    if cp.get("kernels_per_dim"):
+        cfg_kw["kernels_per_dim"] = tuple(cp["kernels_per_dim"])
+    if "num_params_model" in cp:
+        cfg_kw["num_params_model"] = int(cp["num_params_model"])
+        cfg_kw["num_frames"] = int(cp.get("num_frames", orig.shape[2]
+                                          if orig.ndim == 4 else 0))
 
     smoe = Smoe(orig, init_params_dict=params, start_batches=a.batches,
-                use_yuv=bool(cp.get("use_yuv", True)) and orig.shape[-1] == 3,
-                use_determinant=bool(cp.get("use_determinant", True)),
-                use_diff_center=bool(cp.get("use_diff_center", False)),
-                precision=precision, bit_depths=tuple(a.bit_depths),
-                quantization_mode=int(cp.get("quantization_mode", 0)))
+                musX_grid_init=cp.get("musX_grid"), **cfg_kw)
 
     os.makedirs(a.results_path, exist_ok=True)
     if a.quantize:
@@ -94,7 +116,8 @@ def main(args=None):
                                          update_reconstruction=True)
         rec = smoe.get_reconstruction()
 
-    psnr = 10 * np.log10((2 ** precision) ** 2 / mse)
+    from smoe_tpu.core.losses import psnr_from_mse
+    psnr = psnr_from_mse(mse, precision)
     print(f"decode loss {loss:.6f} mse {mse:.2f} psnr {psnr:.2f} dB")
     out = write_image(rec, os.path.join(a.results_path, "output"),
                       smoe.cfg.dim_domain, yuv=smoe.cfg.use_yuv,

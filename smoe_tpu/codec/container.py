@@ -16,8 +16,13 @@ import numpy as np
 def save_model(path: str, params: Dict[str, np.ndarray], cfg,
                qparams: Optional[Dict] = None,
                losses=None, mses=None, num_pis=None,
-               reduce: bool = True) -> None:
-    """Write the codec pickle (reference utils.py:18-59)."""
+               reduce: bool = True, musX_grid=None) -> None:
+    """Write the codec pickle (reference utils.py:18-59).
+
+    musX_grid: full-capacity init-grid centers when cfg.use_diff_center —
+    stored (reduced like params) so reload reconstructs effective centers
+    exactly.  Beyond the reference, which saves only the diffs and cannot
+    decode them back (smoe.py:254 + :392)."""
     from smoe_tpu.codec.quantize import reduce_params
     params = {k: np.asarray(v) for k, v in params.items()}
     used = None
@@ -34,10 +39,16 @@ def save_model(path: str, params: Dict[str, np.ndarray], cfg,
         "use_yuv": cfg.use_yuv, "only_y_gamma": cfg.only_y_gamma,
         "ssim_opt": cfg.ssim_opt, "use_determinant": cfg.use_determinant,
         "use_diff_center": cfg.use_diff_center,
+        "kernels_per_dim": list(cfg.kernels_per_dim),
+        "radial_as": cfg.radial_as,
     }
-    if cfg.dim_domain == 3 and cfg.train_trafo:
+    if musX_grid is not None:
+        g = np.asarray(musX_grid, np.float32)
+        cp["musX_grid"] = g[used] if used is not None else g
+    if cfg.dim_domain == 3 and (cfg.train_trafo or cfg.num_frames > 0):
         cp.update({"train_trafo": cfg.train_trafo,
-                   "num_params_model": cfg.num_params_model})
+                   "num_params_model": cfg.num_params_model,
+                   "num_frames": cfg.num_frames})
     if qparams is not None:
         q = dict(qparams)
         q.update({

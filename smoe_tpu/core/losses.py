@@ -91,6 +91,8 @@ def sv_l1_sub_l2_reg(sv: jnp.ndarray, weight: jnp.ndarray,
 
 
 def psnr_from_mse(mse: float, precision: int) -> float:
-    """PSNR given the pre-scaled MSE (reference plotter.py:14-15)."""
+    """PSNR given the pre-scaled MSE (reference plotter.py:14-15).
+    A perfect reconstruction (mse == 0) reports the ~144 dB f32 ceiling
+    instead of dividing by zero."""
     import numpy as np
-    return float(10.0 * np.log10((2 ** precision) ** 2 / mse))
+    return float(10.0 * np.log10((2 ** precision) ** 2 / max(mse, 1e-12)))

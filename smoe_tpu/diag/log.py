@@ -29,7 +29,7 @@ class ModelLogger:
         save_model(os.path.join(self.path, "params", f"{it}.pkl"),
                    smoe.get_params(), smoe.cfg, qparams=smoe.qparams,
                    losses=smoe.get_losses(), mses=smoe.get_mses(),
-                   num_pis=smoe.get_num_pis())
+                   num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
 
         rec = smoe.get_reconstruction()
         self._write(rec, os.path.join(self.path, "reconstructions",
@@ -73,10 +73,10 @@ class JsonlLogger:
         it, mse = smoe.get_mses()[-1]
         _, loss = smoe.get_losses()[-1]
         _, npi = smoe.get_num_pis()[-1]
+        from smoe_tpu.core.losses import psnr_from_mse
         rec = {
             "iter": it, "loss": float(loss), "mse": float(mse),
-            "psnr_db": float(10 * np.log10(
-                (2 ** smoe.cfg.precision) ** 2 / max(mse, 1e-12))),
+            "psnr_db": psnr_from_mse(mse, smoe.cfg.precision),
             "num_kernels": int(npi), "time": time.time(),
         }
         with open(self.path, "a") as fd:

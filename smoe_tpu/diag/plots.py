@@ -22,17 +22,29 @@ import numpy as np
 
 def psnr(mse: float, precision: int = 8) -> float:
     """Reference plotter.py:14-15."""
-    return float(10 * np.log10((2 ** precision) ** 2 / mse))
+    from smoe_tpu.core.losses import psnr_from_mse
+    return psnr_from_mse(mse, precision)
 
 
 def _to_display(img: np.ndarray, use_yuv: bool) -> np.ndarray:
-    """YUV -> RGB for display; squeeze grayscale."""
+    """YUV -> RGB for display; squeeze grayscale.  Color video / light
+    fields convert per leading-axis slice so panels show RGB, not raw
+    YUV."""
     img = np.asarray(img)
     if img.ndim >= 3 and img.shape[-1] == 3 and use_yuv:
         import cv2
         u8 = np.uint8(np.clip(np.round(img * 255), 0, 255))
-        if u8.ndim == 3:
+        if u8.ndim == 3:                    # (H, W, 3) image
             return cv2.cvtColor(u8, cv2.COLOR_YUV2RGB) / 255.0
+        if u8.ndim == 4:                    # (H, W, T, 3) video
+            rgb = np.stack([cv2.cvtColor(u8[:, :, t], cv2.COLOR_YUV2RGB)
+                            for t in range(u8.shape[2])], axis=2)
+            return rgb / 255.0
+        if u8.ndim == 5:                    # (U, V, H, W, 3) light field
+            flat = u8.reshape((-1,) + u8.shape[2:])
+            rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_YUV2RGB)
+                            for f in flat])
+            return rgb.reshape(u8.shape) / 255.0
     return np.squeeze(img)
 
 
@@ -59,13 +71,12 @@ class ImagePlotter:
         for ax, opt in zip(axes, self.options):
             ax.set_title(opt)
             if opt == "orig":
-                img = smoe.get_original_image()
                 img = _to_display(smoe.image, use_yuv)
                 ax.imshow(self._frame0(img), cmap="gray", vmin=0, vmax=1)
             elif opt == "reconstruction":
                 rec = smoe.get_reconstruction()
                 mse = smoe.get_mses()[-1][1] if smoe.get_mses() else None
-                if mse:
+                if mse is not None:
                     ax.set_title(f"rec {psnr(mse, smoe.cfg.precision):.2f} dB")
                 ax.imshow(self._frame0(_to_display(rec, use_yuv)),
                           cmap="gray", vmin=0, vmax=1)

@@ -626,6 +626,7 @@ class Smoe:
                  init_flag: float = 1,
                  iter_offset: int = 0,
                  mesh=None,
+                 musX_grid_init: Optional[np.ndarray] = None,
                  **cfg_overrides):
         """mesh: optional jax.sharding.Mesh with a 'b' axis.  When given, the
         FULL training semantics (QAT, SSIM, SV, motion, kernel-list refresh,
@@ -693,11 +694,34 @@ class Smoe:
 
         p = init_params(image, cfg, init_params_dict)
         self.params: SmoeParams = jax.tree_util.tree_map(jnp.asarray, p)
-        self.musX_grid = jnp.asarray(p.musX) if cfg.use_diff_center else None
+        self.musX_grid = None
         if cfg.use_diff_center:
-            self.params = self.params.replace(
-                musX=jnp.zeros_like(self.params.musX))
+            if musX_grid_init is not None:
+                # reload path: the saved musX are the learned DIFFS; the
+                # container carries the matching grid rows (container.py)
+                # so effective centers reconstruct exactly.  (The reference
+                # has no such path: it reloads the diffs AS the grid,
+                # smoe.py:254 + :392, collapsing all centers toward 0.)
+                g = np.zeros((p.musX.shape[0], cfg.dim_domain), np.float32)
+                rows = np.asarray(musX_grid_init, np.float32)
+                g[:rows.shape[0]] = rows
+                self.musX_grid = jnp.asarray(g)
+            else:
+                self.musX_grid = jnp.asarray(p.musX)
+                self.params = self.params.replace(
+                    musX=jnp.zeros_like(self.params.musX))
         self.model_mask = None   # dual-model kernel->domain assignment
+        if motion_init is None and init_params_dict is not None \
+                and "h11" in init_params_dict and cfg.dim_domain == 3:
+            # reload path: per-frame motion rows saved by get_params
+            # (reference smoe.py:1802-1807 saves them the same way but its
+            # reconstruction never rebuilds the motion graph from them)
+            motion_init = np.stack([
+                np.asarray(init_params_dict[k], np.float32) for k in
+                ("h11", "h12", "h13", "h21", "h22", "h23", "h31", "h32")])
+            if cfg.num_frames == 0:
+                cfg = cfg.replace(num_frames=motion_init.shape[1])
+                self.cfg = cfg
         if motion_init is not None:
             self.params = self.params.replace(
                 motion=jnp.asarray(motion_init))

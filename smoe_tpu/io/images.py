@@ -114,10 +114,36 @@ def read_image(path: str, use_yuv: bool = True
     return orig, precision, affines
 
 
+def _write_mat_v73(path: str, lf: np.ndarray) -> None:
+    """MATLAB v7.3 (HDF5) light-field container, like the reference's
+    hdf5storage.write(matlab_compatible=True) (utils.py:155-162): column-
+    major dataset + MATLAB_class attr + the 512-byte MAT userblock header
+    so both MATLAB and our own v7.3 read fallback accept it."""
+    import struct
+
+    import h5py
+    classes = {"uint8": b"uint8", "uint16": b"uint16",
+               "float32": b"single", "float64": b"double"}
+    with h5py.File(path, "w", userblock_size=512) as f:
+        ds = f.create_dataset("LF", data=lf.transpose())
+        ds.attrs.create(
+            "MATLAB_class", np.bytes_(classes.get(str(lf.dtype), b"double")))
+    head = b"MATLAB 7.3 MAT-file, created by smoe_tpu"
+    with open(path, "r+b") as fd:
+        fd.write(head.ljust(116, b" "))
+        fd.write(b"\x00" * 8)                       # subsystem data offset
+        fd.write(struct.pack("<H", 0x0200))         # version
+        fd.write(b"IM")                             # endian indicator
+
+
 def write_image(img: np.ndarray, path: str, dim_domain: int,
-                yuv: bool = True, precision: int = 8) -> str:
+                yuv: bool = True, precision: int = 8,
+                mat_v73: bool = False) -> str:
     """Write reconstruction (reference utils.py:136-162).  Returns the path
-    actually written."""
+    actually written.
+
+    mat_v73: write 4D light fields as MATLAB v7.3 (HDF5) like the
+    reference's hdf5storage output, instead of scipy's v5 format."""
     import cv2
     if precision == 8:
         out = np.uint8(np.round(img * 255))
@@ -138,20 +164,29 @@ def write_image(img: np.ndarray, path: str, dim_domain: int,
             for t in range(out.shape[2]):
                 frame = out[:, :, t, :]
                 if frame.shape[-1] == 1:
-                    frame = np.repeat(frame, 3, axis=-1)
-                if not yuv:
+                    # grayscale: luma + neutral chroma (the reference's
+                    # video writer has a "grayscale videos do not work"
+                    # TODO, utils.py:150; repeating luma into U/V would
+                    # decode as saturated false color)
+                    neutral = np.full_like(frame, 128 if precision == 8
+                                           else 1 << (precision - 1))
+                    frame = np.concatenate([frame, neutral, neutral], -1)
+                elif not yuv:
                     frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV)
                 i420 = cv2.cvtColor(frame, cv2.COLOR_YUV2BGR)
                 i420 = cv2.cvtColor(i420, cv2.COLOR_BGR2YUV_I420)
                 fd.write(i420.tobytes())
         return path + ".yuv"
     if dim_domain == 4:
-        from scipy.io import savemat
         lf = out.copy()
         if yuv and lf.shape[-1] == 3:
             for i in range(lf.shape[0]):
                 for j in range(lf.shape[1]):
                     lf[i, j] = cv2.cvtColor(lf[i, j], cv2.COLOR_YUV2RGB)
-        savemat(path + ".mat", {"LF": lf})
+        if mat_v73:
+            _write_mat_v73(path + ".mat", lf)
+        else:
+            from scipy.io import savemat
+            savemat(path + ".mat", {"LF": lf})
         return path + ".mat"
     raise ValueError(f"unsupported dim_domain {dim_domain}")

@@ -133,3 +133,92 @@ def test_inc_steps_cli(fitted, tmp_path):
     assert smoe.cfg.add_kernel_slots == 9
     assert smoe.kernel_count > 9
     assert np.isfinite(smoe.get_losses()[-1][1])
+
+
+def test_diff_center_save_reconstruct_roundtrip(tmp_path):
+    """use_diff_center models must reconstruct exactly from the pickle:
+    the container stores the grid rows of the used kernels so reload can
+    rebuild effective centers (the reference reloads the saved DIFFS as
+    the grid, smoe.py:254 + :392, collapsing all centers)."""
+    import jax.numpy as jnp
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.container import load_model, save_model
+
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.clip(0.5 + 0.3 * np.sin(6 * x) * np.cos(5 * y), 0,
+                  1).astype(np.float32)[..., None]
+    s = Smoe(img, kernels_per_dim=[4], use_yuv=False, use_diff_center=True)
+    s.set_optimizer()
+    s.run_batched_chunk(30)
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    _, mse_ref, *_ = s.run_batched(train=False, update_reconstruction=True)
+    rec_ref = s.get_reconstruction()
+
+    path = str(tmp_path / "dc.pkl")
+    save_model(path, s.get_params(), s.cfg, musX_grid=s.musX_grid)
+    cp = load_model(path)
+    assert "musX_grid" in cp
+
+    s2 = Smoe(img, init_params_dict=cp["params"], use_yuv=False,
+              use_diff_center=True, kernels_per_dim=[4],
+              musX_grid_init=cp["musX_grid"])
+    _, mse2, *_ = s2.run_batched(train=False, update_reconstruction=True)
+    np.testing.assert_allclose(np.asarray(s2.get_reconstruction()),
+                               np.asarray(rec_ref), atol=1e-6)
+    np.testing.assert_allclose(mse2, mse_ref, rtol=1e-5)
+
+
+def test_video_motion_reload_from_pickle(tmp_path):
+    """A video model's per-frame motion rows (h11..h32) saved by
+    get_params must be restored on reload so the transformed domain (and
+    thus the reconstruction) matches the trained model."""
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.container import load_model, save_model
+
+    rng = np.random.default_rng(0)
+    h = w = 16
+    t = 3
+    y, x = np.mgrid[0:h, 0:w] / (h - 1)
+    frames, affines = [], []
+    for i in range(t):
+        dx = 0.1 * i
+        frames.append(0.5 + 0.3 * np.sin(6 * (x + dx)) * np.cos(4 * y))
+        affines.append(np.array([[1, 0, -dx * (w - 1)], [0, 1, 0]],
+                                np.float32))
+    vid = np.clip(np.stack(frames, 2), 0, 1).astype(np.float32)[..., None]
+
+    s = Smoe(vid, kernels_per_dim=[3, 3, 2], use_yuv=False,
+             affines=np.stack(affines))
+    s.set_optimizer()
+    s.run_batched_chunk(10)
+    import jax.numpy as jnp
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    _, mse_ref, *_ = s.run_batched(train=False, update_reconstruction=True)
+    rec_ref = s.get_reconstruction()
+
+    path = str(tmp_path / "vid.pkl")
+    save_model(path, s.get_params(), s.cfg)
+    cp = load_model(path)
+    assert "h11" in cp["params"] and "num_params_model" in cp
+
+    s2 = Smoe(vid, init_params_dict=cp["params"], use_yuv=False,
+              num_params_model=int(cp["num_params_model"]),
+              num_frames=int(cp["num_frames"]),
+              dual_model=bool(np.asarray(cp["params"]["pis"]).shape[0]
+                              and s.cfg.dual_model))
+    # dual-model assignment travels separately; rebuild it like decode does
+    if s.model_mask is not None:
+        used = np.asarray(s.get_params()["pis"]) > 0
+        mm = np.asarray(s.model_mask)[used]
+        pad = s2.params.capacity - mm.shape[0]
+        s2.model_mask = jnp.asarray(np.concatenate(
+            [mm, np.ones((pad,), bool)]))
+    # decoder semantics: evaluate all active kernels (motion kernels live
+    # on the t=-5 plane, raw-domain list init would miss them)
+    s2.kernel_lists = jnp.ones_like(s2.kernel_lists)
+    _, mse2, *_ = s2.run_batched(train=False, update_reconstruction=True)
+    # capacity padding differs between the two builds, so f32 reduction
+    # order can flip isolated pixels across an output fake-quant boundary:
+    # allow one 8-bit quantization step
+    np.testing.assert_allclose(np.asarray(s2.get_reconstruction()),
+                               np.asarray(rec_ref), atol=1.01 / 255)

@@ -115,3 +115,24 @@ def test_lf_mat_v73_read(tmp_path):
     assert back.shape == lf8.shape
     assert precision == 8
     np.testing.assert_allclose(back, lf8.astype(np.float32) / 255.0)
+
+
+def test_lf_mat_v73_write_roundtrip(tmp_path):
+    """write_image(mat_v73=True) emits a MATLAB v7.3 container (like the
+    reference's hdf5storage output) that scipy refuses and our h5py
+    fallback reads back exactly."""
+    pytest.importorskip("h5py")
+    from scipy.io import loadmat
+
+    from smoe_tpu.io.images import read_image, write_image
+    lf = np.repeat(make_lf(c=1), 3, axis=-1)
+    path = str(tmp_path / "lf73w")
+    out = write_image(lf, path, dim_domain=4, yuv=False, precision=8,
+                      mat_v73=True)
+    with pytest.raises(NotImplementedError):
+        loadmat(out)
+    back, precision, _ = read_image(out, use_yuv=False)
+    assert back.shape == lf.shape
+    assert precision == 8
+    np.testing.assert_allclose(back, np.round(lf * 255) / 255.0,
+                               atol=1e-6)
