@@ -92,7 +92,8 @@ def main():
             if iters % 100 == 0:
                 s.update_kernel_list()
             mse, npi = np.nanmin(mse_a), npi_a[-1]
-            psnr = max(psnr, 10 * np.log10((2 ** s.cfg.precision) ** 2 / mse))
+            from smoe_tpu.core.losses import psnr_from_mse
+            psnr = max(psnr, psnr_from_mse(mse, s.cfg.precision))
             if t_run is None and psnr >= target_psnr:
                 t_run = time.time() - t0
                 break

@@ -48,7 +48,8 @@ def main():
         _, qmse, npi, _ = s.run_batched(train=False,
                                         update_reconstruction=True,
                                         with_quantized_params=True)
-        qpsnr = 10 * np.log10((2 ** precision) ** 2 / qmse)
+        from smoe_tpu.core.losses import psnr_from_mse
+        qpsnr = psnr_from_mse(qmse, precision)
         with tempfile.NamedTemporaryFile(suffix=".smoe") as tf:
             bits = write_bitstream(tf.name, s.qparams, s.cfg)
         pt = {"pis_l1": pis_l1, "active_kernels": int(npi),
@@ -84,9 +85,12 @@ def main():
                      precision=precision)
             s.set_optimizer()
             chunk = 100
-            for i in range(iters // chunk):
-                s.run_batched_chunk(chunk, pis_l1=pis_l1)
+            done = 0
+            while done < iters:           # run ALL iters incl. a remainder
+                n = min(chunk, iters - done)
+                s.run_batched_chunk(n, pis_l1=pis_l1)
                 s.update_kernel_list()
+                done += n
             points.append(measure(s, pis_l1))
 
     print(json.dumps({"metric": "rd_curve", "points": points}))

@@ -431,6 +431,7 @@ def write_bitstream(path: str, qparams: Dict, cfg,
         "dim_domain": cfg.dim_domain,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
+        "train_inverse_cov": bool(cfg.train_inverse_cov),
         "kernels_per_dim": list(cfg.kernels_per_dim),
         "precision": cfg.precision,
         "bit_depths": bd,

@@ -79,7 +79,7 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
         chunk_pixels = max(1024, min(n, (8 << 20) // (4 * k_pad)))
         chunk_pixels = _round_up(chunk_pixels, 256)
     n_pad = _round_up(n, chunk_pixels)
-    coords = gen_domain(np.zeros(img_shape + (1,), np.float32), d)
+    coords = gen_domain(tuple(img_shape), d)   # no pixel array materialized
     coords = np.pad(coords.reshape(-1, d), ((0, n_pad - n), (0, 0)))
     coords = jnp.asarray(coords.reshape(-1, chunk_pixels, d))
     motion_arr = None if motion is None \
@@ -147,6 +147,7 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
         use_determinant=bool(header.get("use_determinant", True)),
         use_diff_center=bool(header.get("use_diff_center", False)),
         radial_as=bool(header.get("radial_as", False)),
+        train_inverse_cov=bool(header.get("train_inverse_cov", False)),
         num_params_model=int(header.get("num_params_model", 8)),
         num_frames=int(header.get("num_frames",
                                   img_shape[2] if d == 3 else 0)))

@@ -22,12 +22,16 @@ def gen_domain(shape_or_kpd, dim: int) -> np.ndarray:
 
     * For an image shape: per-dim linspace(0, 1, n) inclusive -> (*, d) grid
       (reference gen_domain with ndarray input, smoe.py:2411-2422).
-    * For kernels-per-dim: centers inset by half a spacing:
+    * For kernels-per-dim (a LIST): centers inset by half a spacing:
       linspace(1/(2n), 1 - 1/(2n), n) -> (prod(n), d) flat list
       (reference smoe.py:2415).
+
+    A tuple is treated as a bare image SHAPE (no pixel array needed —
+    decoders know only the geometry).
     """
-    if isinstance(shape_or_kpd, np.ndarray):
-        dims = shape_or_kpd.shape[:dim]
+    if isinstance(shape_or_kpd, (np.ndarray, tuple)):
+        dims = shape_or_kpd[:dim] if isinstance(shape_or_kpd, tuple) \
+            else shape_or_kpd.shape[:dim]
         coords = [np.linspace(0.0, 1.0, n) for n in dims]
         grids = np.meshgrid(*coords, indexing="ij")
         return np.stack(grids, axis=-1).astype(np.float32)
@@ -65,7 +69,10 @@ def generate_experts(image: np.ndarray, musX: np.ndarray,
 
     Patch bounds are center +- half grid spacing scaled to pixels
     (reference smoe.py:2165-2235; the 4D branch clamps view indices to [4,11],
-    smoe.py:2212-2215).  Returns (nu_e (K,C), gamma_e (K,d,C)).
+    smoe.py:2212-2215).  When the clamp empties a patch (outer-view kernels
+    with fine view grids: lo > hi) the mean falls back to 0.5 — the
+    reference's np.mean over the empty slice would produce NaN there.
+    Returns (nu_e (K,C), gamma_e (K,d,C)).
     """
     d = cfg.dim_domain
     c = image.shape[-1]
@@ -195,7 +202,10 @@ def get_batch_shape(desired_batches: int, domain_shape: Sequence[int]
     diff[diff < 0] = np.inf
     target = counts[int(np.argmin(diff))]
     candidates = [s for s, c in zip(shapes, counts) if c == target]
-    # prefer near-cubic: minimize sum of divisors (reference :2531-2538)
+    # prefer near-cubic: minimize sum of divisors (reference :2531-2538);
+    # the light-field branch scores ONLY the 3rd-dim divisor — the
+    # reference's identical `divs[2:3]` slice (smoe.py:2535-2536), kept
+    # faithfully even though it can pick anisotropic spatial blocks
     def score(s):
         return np.sum(s[2:3]) if len(s) > 4 else np.sum(s)
     best = min(candidates, key=score)

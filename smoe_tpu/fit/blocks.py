@@ -91,13 +91,11 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
     valid = interior.reshape(-1)
 
     # probe points: product over dims of {min, max, mid} of each block's
-    # coordinate range (reference smoe.py:2332-2354)
+    # coordinate range (reference smoe.py:2332-2354) — same helper the
+    # trainer uses for motion-recomputed probes
     mins = coords.min(axis=1)
     maxs = coords.max(axis=1)
-    mids = 0.5 * (mins + maxs)
-    tt = np.stack([mins, maxs, mids], axis=-1)            # (B, d, 3)
-    probes = np.stack(
-        [np.array(list(product(*tt[b]))) for b in range(tt.shape[0])])
+    probes = np.asarray(probe_points(jnp.asarray(mins), jnp.asarray(maxs)))
     centers = blocks.mean(axis=1)[:, :d]
 
     train_mask = None
@@ -171,6 +169,12 @@ def initialize_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray,
     maha = maha_from_A(A, musX, cfg, bset.centers)         # (B, K)
     nearest = jnp.argmin(maha, axis=0)                     # (K,)
     lists = nearest[None, :] == jnp.arange(B)[:, None]     # (B, K)
+    # dead slots (zero-padded inc/add capacity, pis <= 0) have maha == 0
+    # everywhere and would all land in block 0 (the reference feeds an
+    # all-ones kernel_list and has the same tie, smoe.py:2267-2270);
+    # masking them keeps the capped-dense width honest — they contribute
+    # nothing anyway (pi = 0 => no influence)
+    lists = lists & (pis > 0)[None, :]
     return update_kernel_lists(A, musX, pis, cfg, bset, lists)
 
 

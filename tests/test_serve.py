@@ -166,6 +166,36 @@ def test_decode_bitstream_diff_center_beyond_grid(tmp_path):
     np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
 
 
+def test_decode_bitstream_inverse_cov(tmp_path):
+    """train_inverse_cov travels in the bitstream header: the maha form is
+    x^T (D+L+L^T) x, not |A^T x|^2, and decoding with the wrong form would
+    silently mis-reconstruct."""
+    import jax.numpy as jnp
+    from smoe_tpu.codec.bitstream import write_bitstream
+
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.clip(.5 + .3 * np.sin(6 * x) * np.cos(4 * y), 0,
+                  1).astype(np.float32)[..., None]
+    s = Smoe(img, kernels_per_dim=[4], use_yuv=False,
+             train_inverse_cov=True, quantize_pis=True)
+    s.set_optimizer()
+    s.run_batched_chunk(20)
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    s.rparams = rescaler(s.qparams, s.cfg)
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    rec_ref = s.get_qreconstruction()
+
+    path = str(tmp_path / "ic.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(img.shape[:2]),
+        "dim_of_output": [1],
+        "use_yuv": False,
+        "use_determinant": bool(s.cfg.use_determinant),
+    })
+    rec = decode_bitstream(path)
+    np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
+
+
 def test_decode_bitstream_one_call(fitted, tmp_path):
     img, s = fitted
     from smoe_tpu.codec.bitstream import write_bitstream
