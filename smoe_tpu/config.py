@@ -72,6 +72,12 @@ class SmoeConfig:
     # so the matmul is cast-overhead-bound, and PSNR is unchanged.
     compute_dtype: str = "float32"
     use_pallas: str = "auto"                 # auto/on/off/packed (block-sparse)
+    # kernel-list probe threshold (reference smoe.py:806 hardcodes 800).
+    # Measured on config 3 (1080p, 16 blocks, K=576): 150 -> -15% step
+    # time, 50 -> -23%, both at unchanged PSNR — exp(-0.5*50) ~ 1e-11 is
+    # far below the influence cull, so probe-distant kernels are dead
+    # weight.  800 kept as the reference-faithful default.
+    probe_maha_threshold: float = 800.0
 
     # ---- derived helpers ----
 

@@ -210,6 +210,7 @@ def update_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray, pis: jnp.ndarray,
         else probes_raw.reshape(B * P, d),
         model_mask=model_mask)
     maha = maha.reshape(B, P, A.shape[0])
-    near = jnp.any(maha < MAHA_PROBE_THRESHOLD, axis=1)    # (B, K)
+    thr = getattr(cfg, "probe_maha_threshold", MAHA_PROBE_THRESHOLD)
+    near = jnp.any(maha < thr, axis=1)                     # (B, K)
     active = pis > 0
     return lists | (near & active[None, :])

@@ -357,3 +357,27 @@ def test_train_grad_clip_arg_is_applied(toy_image):
     s2.train(2, val_iter=2)
     d_clip = np.abs(np.asarray(s.params.nu_e) - np.asarray(s2.params.nu_e))
     assert d_clip.max() > 0                     # the two runs diverge
+
+
+def test_probe_maha_threshold_knob():
+    """cfg.probe_maha_threshold controls kernel-list density (default 800
+    = reference smoe.py:806); tighter thresholds give sparser lists."""
+    from smoe_tpu.core.init import init_params
+    from smoe_tpu.fit.blocks import build_blockset, initialize_kernel_lists
+    from smoe_tpu.fit.trainer import effective_params
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.2, 0.8, (32, 32, 1)).astype(np.float32)
+    counts = {}
+    for thr in (800.0, 10.0):
+        cfg = SmoeConfig(dim_domain=2, num_channels=1,
+                         kernels_per_dim=(6, 6), use_yuv=False,
+                         probe_maha_threshold=thr)
+        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
+        eff = effective_params(params, cfg, None)
+        bset = build_blockset(img, cfg, (8, 8))
+        lists = initialize_kernel_lists(eff.A, eff.musX, eff.pis, cfg, bset)
+        counts[thr] = int(np.asarray(lists).sum())
+    assert counts[10.0] < counts[800.0]
