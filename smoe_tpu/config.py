@@ -71,7 +71,11 @@ class SmoeConfig:
     # (5.1 vs 4.4 ms/iter at 512^2) — the maha contraction is only F=8 wide
     # so the matmul is cast-overhead-bound, and PSNR is unchanged.
     compute_dtype: str = "float32"
-    use_pallas: str = "auto"                 # auto/on/off/packed (block-sparse)
+    # auto/on/off/packed.  "packed" (in-kernel tile culling) is opt-in and
+    # validated only to K=2304 — it measured slower than auto's
+    # capped-dense at every size tried and crashed the TPU runtime at
+    # K=9216 (ROADMAP.md "Block sparsity").
+    use_pallas: str = "auto"
     # kernel-list probe threshold (reference smoe.py:806 hardcodes 800).
     # Measured on config 3 (1080p, 16 blocks, K=576): 150 -> -15% step
     # time, 50 -> -23%, both at unchanged PSNR — exp(-0.5*50) ~ 1e-11 is
