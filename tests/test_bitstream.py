@@ -127,3 +127,75 @@ def test_interkernel_prediction_beats_proxy(tmp_path):
                                       np.asarray(q2[name]), err_msg=name)
     # ...and at least 3% below the raw proxy
     assert bits < rate_bits(q, s.cfg) * 0.97
+
+
+def test_fuzz_symbol_roundtrip():
+    """Randomized symbol streams (1..20-bit, all context groups) encode ->
+    decode exactly, native and Python coders agreeing bit for bit."""
+    lib = bs.load_native()
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(1, 1200))
+        nbits = rng.integers(1, 21, n).astype(np.uint8)
+        group = rng.integers(0, 5, n).astype(np.uint8)
+        vals = (rng.integers(0, 1 << 20, n).astype(np.uint32)
+                & ((1 << nbits.astype(np.uint32)) - 1))
+        data = bs.encode_symbols(vals, nbits, group)
+        out = bs.decode_symbols(data, nbits, group)
+        np.testing.assert_array_equal(out, vals, err_msg=f"seed {seed}")
+        if lib is not None:
+            assert bs._py_encode(vals, nbits, group) == data, f"seed {seed}"
+
+
+def test_fuzz_bitstream_roundtrip(tmp_path):
+    """Randomized quantized-parameter dicts (kernel counts, bit depths,
+    out-of-range values, radial / non-radial) survive the full container
+    round trip exactly."""
+    from smoe_tpu.config import SmoeConfig
+
+    for seed in range(6):
+        rng = np.random.default_rng(200 + seed)
+        k = int(rng.integers(2, 40))
+        d = 2
+        radial = bool(rng.integers(0, 2))
+        bd = [int(b) for b in rng.integers(2, 21, 5)]
+        cfg = SmoeConfig(dim_domain=d, num_channels=3,
+                         kernels_per_dim=(max(2, int(np.sqrt(k))),) * d,
+                         bit_depths=tuple(bd), radial_as=radial)
+        steps = {n: (1 << bd[i]) - 1 for i, n in enumerate(
+            ["A", "musX", "nu_e", "pis", "gamma_e"])}
+
+        def qvals(name, shape, step):
+            v = rng.integers(0, step + 1, shape).astype(np.float64)
+            if rng.random() < 0.3:      # sprinkle out-of-range (QM2 case)
+                v.flat[0] = -float(rng.integers(1, 50))
+                v.flat[-1] = float(step + rng.integers(1, 50))
+            return v
+
+        used = np.zeros((k + 5,), bool)
+        used[rng.choice(k + 5, k, replace=False)] = True
+        q = {
+            "A_diagonal": qvals("A", (k,) if radial else (k, 3),
+                                steps["A"]),
+            "musX": qvals("musX", (k, d), steps["musX"]),
+            "nu_e": qvals("nu_e", (k, 3), steps["nu_e"]),
+            "pis": qvals("pis", (k,), steps["pis"]),
+            "gamma_e": qvals("gamma_e", (k, d * 3), steps["gamma_e"]),
+            "steps": steps,
+            "lower_bounds": {n: np.full((1,), -0.5) for n in steps},
+            "upper_bounds": {n: np.full((1,), 1.5) for n in steps},
+            "used_kernels": used,
+        }
+        if not radial:
+            q["A_corr"] = qvals("A", (k, 3), steps["A"])
+        path = str(tmp_path / f"fuzz{seed}.smoe")
+        bs.write_bitstream(path, q, cfg)
+        q2, _ = bs.read_bitstream(path)
+        for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis",
+                     "gamma_e"):
+            if name not in q:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(q[name]).round(), np.asarray(q2[name]),
+                err_msg=f"seed {seed} {name}")
+        np.testing.assert_array_equal(q["used_kernels"], q2["used_kernels"])
