@@ -134,6 +134,7 @@ size_t smoe_rc_encode(const uint32_t* vals, const uint8_t* nbits,
   enc.cap = cap;
   for (size_t i = 0; i < n; ++i) {
     int b = nbits[i];
+    if (b > kMaxBits) return 0;   // would index past the ctx row
     uint16_t* ctx = probs + (group[i] & (kNumGroups - 1)) * kMaxBits;
     for (int j = b - 1; j >= 0; --j) {
       enc.encode_bit(&ctx[j], (vals[i] >> j) & 1);
@@ -156,6 +157,7 @@ long long smoe_rc_decode(const uint8_t* in, size_t len, const uint8_t* nbits,
   dec.init();
   for (size_t i = 0; i < n; ++i) {
     int b = nbits[i];
+    if (b > kMaxBits) return -1;  // corrupt header: would overrun ctx row
     uint16_t* ctx = probs + (group[i] & (kNumGroups - 1)) * kMaxBits;
     uint32_t v = 0;
     for (int j = b - 1; j >= 0; --j) {

@@ -53,8 +53,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     so = os.path.join(_native_dir(), "libsmoe_rc.so")
-    if not os.path.exists(so):
-        src = os.path.join(_native_dir(), "rangecoder.cc")
+    src = os.path.join(_native_dir(), "rangecoder.cc")
+    stale = (os.path.exists(src) and os.path.exists(so)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -62,7 +64,8 @@ def load_native() -> Optional[ctypes.CDLL]:
                 ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o", so,
                  src], check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -195,6 +198,8 @@ def encode_symbols(vals: np.ndarray, nbits: np.ndarray,
     vals = np.ascontiguousarray(vals, np.uint32)
     nbits = np.ascontiguousarray(nbits, np.uint8)
     group = np.ascontiguousarray(group, np.uint8)
+    if nbits.size and int(nbits.max()) > 32:
+        raise ValueError(f"symbol width {int(nbits.max())} > 32")
     lib = load_native()
     if lib is not None:
         cap = int(vals.size * 8 + 64)
@@ -215,6 +220,11 @@ def decode_symbols(data: bytes, nbits: np.ndarray,
     """Inverse of encode_symbols (needs the same nbits/group streams)."""
     nbits = np.ascontiguousarray(nbits, np.uint8)
     group = np.ascontiguousarray(group, np.uint8)
+    if nbits.size and int(nbits.max()) > 32:
+        # widths come from the (untrusted) file header; the coder models
+        # 32 bit positions per group
+        raise ValueError(f"corrupt bitstream: symbol width "
+                         f"{int(nbits.max())} > 32")
     lib = load_native()
     if lib is not None:
         vals = np.zeros(nbits.size, np.uint32)

@@ -199,3 +199,26 @@ def test_fuzz_bitstream_roundtrip(tmp_path):
                 np.asarray(q[name]).round(), np.asarray(q2[name]),
                 err_msg=f"seed {seed} {name}")
         np.testing.assert_array_equal(q["used_kernels"], q2["used_kernels"])
+
+
+def test_corrupt_header_width_rejected(tmp_path, toy_rgb):
+    """A corrupt header claiming >32-bit symbol widths must raise a clear
+    error, not overrun the coder's per-group context rows."""
+    import json
+    import struct
+
+    from smoe_tpu.fit.trainer import Smoe
+
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "c.smoe")
+    bs.write_bitstream(path, q, s.cfg)
+    data = open(path, "rb").read()
+    hlen = struct.unpack("<I", data[4:8])[0]
+    header = json.loads(data[8:8 + hlen].decode())
+    header["bit_depths"] = [200, 18, 6, 10, 10]      # corrupt width
+    hjson = json.dumps(header).encode()
+    open(path, "wb").write(data[:4] + struct.pack("<I", len(hjson))
+                           + hjson + data[8 + hlen:])
+    with pytest.raises(ValueError, match="width"):
+        bs.read_bitstream(path)
