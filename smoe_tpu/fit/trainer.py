@@ -1242,6 +1242,7 @@ class Smoe:
     def get_mses_history(self): return self.mses_history
     def get_num_pis(self): return self.num_pis
     def get_num_svs(self): return self.num_svs
+    def get_iter(self): return self.iter      # reference smoe.py:2142
 
     # ---------------- checkpoint / restore ----------------
 
