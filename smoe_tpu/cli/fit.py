@@ -193,10 +193,13 @@ def main(args=None):
         return smoe
 
     # HPC job arrays: resume inc insertion at step N
-    # (reference smoe_test.py:112-116)
+    # (reference smoe_test.py:112-116).  The reference ADDS the offset
+    # because its TF checkpoints don't persist kernel_count (it resets to
+    # start_pis on rebuild); our full-state checkpoints DO restore it, so
+    # set the absolute value the reference's arithmetic produces.
     if args.hpc_mode and args.current_inc_step > 0:
-        smoe.kernel_count += (args.current_inc_step - 1) * \
-            smoe.num_inc_kernels
+        smoe.kernel_count = smoe.cfg.start_pis + \
+            (args.current_inc_step - 1) * smoe.num_inc_kernels
         import jax.numpy as jnp
         smoe.kernel_lists = jnp.ones_like(smoe.kernel_lists)
 

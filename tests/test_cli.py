@@ -222,3 +222,47 @@ def test_video_motion_reload_from_pickle(tmp_path):
     # allow one 8-bit quantization step
     np.testing.assert_allclose(np.asarray(s2.get_reconstruction()),
                                np.asarray(rec_ref), atol=1.01 / 255)
+
+
+def test_hpc_mode_resume(tmp_path):
+    """HPC job-array flow (reference smoe_test.py:112-116, 329-333): job 1
+    runs the base fit + exactly ONE inc step, a later job restores the
+    checkpoint with --current_inc_step to continue where it left off."""
+    import cv2 as _cv2
+
+    img_path = str(tmp_path / "img.png")
+    y, x = np.mgrid[0:32, 0:32] / 31.0
+    img = np.stack([0.5 + 0.3 * np.sin(5 * x),
+                    0.5 + 0.3 * np.cos(4 * y),
+                    0.4 + 0.2 * np.sin(3 * (x + y))], -1)
+    _cv2.imwrite(img_path, np.uint8(img * 255))
+
+    from smoe_tpu.cli.fit import main as fit_main
+    res1 = str(tmp_path / "job1")
+    s1 = fit_main(["-i", img_path, "-r", res1, "-n", "100", "-k", "3",
+                   "-v", "50", "-is", "2", "-ni", "5", "-na", "5",
+                   "-hpc", "true"])   # 100 iters: ModelLogger checkpoints
+                                      # every 100 (reference logger.py:45)
+    # hpc base job: NO inc step runs (reference smoe_test.py:221 condition
+    # `hpc_mode and iterations == 0 or not hpc_mode`)
+    assert s1.kernel_count == 9
+    ckpts = sorted(os.listdir(os.path.join(res1, "checkpoints")))
+    assert ckpts, "ModelLogger must have written a resumable checkpoint"
+    ckpt = os.path.join(res1, "checkpoints", ckpts[-1])
+
+    # job 2: -n 0 + checkpoint -> exactly ONE inc step, then stop
+    res2 = str(tmp_path / "job2")
+    s2 = fit_main(["-i", img_path, "-r", res2, "-n", "0", "-k", "3",
+                   "-v", "10", "-is", "2", "-ni", "5", "-na", "5",
+                   "-hpc", "true", "-cis", "1", "-c", ckpt])
+    assert s2.kernel_count == 9 + s2.num_inc_kernels
+    ckpts2 = sorted(os.listdir(os.path.join(res2, "checkpoints")))
+    ckpt2 = os.path.join(res2, "checkpoints", ckpts2[-1])
+
+    # job 3: resume at inc step 2 (kernel_count offset by cis-1 blocks)
+    res3 = str(tmp_path / "job3")
+    s3 = fit_main(["-i", img_path, "-r", res3, "-n", "0", "-k", "3",
+                   "-v", "10", "-is", "2", "-ni", "5", "-na", "5",
+                   "-hpc", "true", "-cis", "2", "-c", ckpt2])
+    assert s3.kernel_count == 9 + 2 * s3.num_inc_kernels
+    assert np.isfinite(s3.losses[-1][1])
