@@ -266,3 +266,33 @@ def test_hpc_mode_resume(tmp_path):
                    "-hpc", "true", "-cis", "2", "-c", ckpt2])
     assert s3.kernel_count == 9 + 2 * s3.num_inc_kernels
     assert np.isfinite(s3.losses[-1][1])
+
+
+def test_checkpoint_resume_and_orfc(fitted, tmp_path):
+    """Plain -c resume continues training from the full state (with pi
+    re-normalization, reference smoe_test.py:99-107), and
+    --only_rec_from_checkpoint writes the reconstruction and stops."""
+    img_path, _ = fitted
+    from smoe_tpu.cli.fit import main as fit_main
+
+    res1 = str(tmp_path / "base")
+    s1 = fit_main(["-i", img_path, "-r", res1, "-n", "100", "-k", "3",
+                   "-v", "50"])
+    ckpt = os.path.join(res1, "checkpoints", "100.pkl")
+    assert os.path.exists(ckpt)
+    mse1 = s1.get_mses()[-1][1]
+
+    # resume + train further: loss picks up from the checkpoint state
+    res2 = str(tmp_path / "resume")
+    s2 = fit_main(["-i", img_path, "-r", res2, "-n", "20", "-k", "3",
+                   "-v", "10", "-c", ckpt])
+    assert s2.iter >= 100 + 20        # iteration counter carried over
+    assert s2.get_mses()[-1][1] <= mse1 * 1.5
+
+    # reconstruction-only run
+    res3 = str(tmp_path / "orfc")
+    s3 = fit_main(["-i", img_path, "-r", res3, "-n", "20", "-k", "3",
+                   "-c", ckpt, "-orfc", "true"])
+    assert os.path.exists(os.path.join(res3, "reconstruction.png"))
+    # no training happened
+    assert s3.iter == s2.iter - 20
