@@ -4,8 +4,10 @@ trainer (`Smoe(mesh=...)`) over the cross-process 'b' mesh in lockstep.
 
 This is the TPU-native equivalent of the reference's HPC job-array mode
 (SURVEY §2.2 multi-host row; reference smoe_test.py:112-116) validated
-end to end: every process computes bit-identical replicated state and
-process 0 alone owns persisted artifacts (parallel/multihost.py).
+end to end: every process computes bit-identical replicated state,
+process 0 alone owns persisted artifacts, and a fresh fleet resumes
+deterministically from the process-0 checkpoint
+(parallel/multihost.py).
 """
 
 import json
@@ -21,6 +23,7 @@ import json, os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
 out_dir = sys.argv[4]
 sys.path.insert(0, sys.argv[5])
+resume_from = sys.argv[6] if len(sys.argv) > 6 else ""
 import jax
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
@@ -40,11 +43,16 @@ img = np.stack([0.5 + 0.3 * np.sin(5 * x + 40 * y),
 mesh = Mesh(np.asarray(devs), ("b",))
 s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 16), mesh=mesh)
 s.set_optimizer()
+if resume_from:
+    # EVERY process restores the same process-0 checkpoint -> the fleet
+    # restarts in lockstep with no further synchronization
+    s.restore(resume_from)
 s.train(2, val_iter=2, pis_l1=1e-4)
 wrote = multihost.save_checkpoint(
     s, os.path.join(out_dir, f"ckpt_{pid}.pkl"))
 print("MHRESULT " + json.dumps({
     "pid": pid, "loss": float(s.losses[-1][1]),
+    "iter": int(s.iter),
     "primary": multihost.primary(), "devices": len(devs),
     "wrote_checkpoint": bool(wrote)}), flush=True)
 """
@@ -58,21 +66,17 @@ def _free_port():
     return port
 
 
-def test_two_process_lockstep_training(tmp_path):
-    worker = str(tmp_path / "worker.py")
-    with open(worker, "w") as fd:
-        fd.write(_WORKER)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _run_fleet(worker, tmp_path, repo, out_dir, resume_from=""):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)      # clean CPU-only interpreters
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     port = _free_port()
-
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path),
-         repo], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        [sys.executable, worker, str(pid), "2", str(port), out_dir,
+         repo] + ([resume_from] if resume_from else []),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
     outs = [p.communicate(timeout=540)[0] for p in procs]
     results = {}
@@ -82,6 +86,18 @@ def test_two_process_lockstep_training(tmp_path):
         assert line, f"no result line:\n{out[-2000:]}"
         r = json.loads(line[-1][len("MHRESULT "):])
         results[r["pid"]] = r
+    return results
+
+
+def test_two_process_lockstep_training_and_resume(tmp_path):
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fd:
+        fd.write(_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    run1 = str(tmp_path / "run1")
+    os.makedirs(run1)
+    results = _run_fleet(worker, tmp_path, repo, run1)
 
     assert results[0]["devices"] == results[1]["devices"] == 4
     # lockstep SPMD: both processes computed bit-identical losses
@@ -91,5 +107,16 @@ def test_two_process_lockstep_training(tmp_path):
     assert results[0]["primary"] and not results[1]["primary"]
     assert results[0]["wrote_checkpoint"]
     assert not results[1]["wrote_checkpoint"]
-    assert os.path.exists(str(tmp_path / "ckpt_0.pkl"))
-    assert not os.path.exists(str(tmp_path / "ckpt_1.pkl"))
+    ckpt = os.path.join(run1, "ckpt_0.pkl")
+    assert os.path.exists(ckpt)
+    assert not os.path.exists(os.path.join(run1, "ckpt_1.pkl"))
+
+    # a FRESH fleet restores the process-0 checkpoint and continues in
+    # lockstep: iteration counter carries over, losses stay bit-identical
+    # across processes and improve on the checkpointed fit
+    run2 = str(tmp_path / "run2")
+    os.makedirs(run2)
+    resumed = _run_fleet(worker, tmp_path, repo, run2, resume_from=ckpt)
+    assert resumed[0]["loss"] == resumed[1]["loss"]
+    assert resumed[0]["iter"] == results[0]["iter"] + 2
+    assert resumed[0]["loss"] < results[0]["loss"]
