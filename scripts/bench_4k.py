@@ -37,7 +37,8 @@ for _ in range(3):
     _, mse, npi, _ = s.run_batched_chunk(100)
     times.append((time.time() - t0) / 100)
     s.update_kernel_list()
-    best = max(best, 10 * np.log10(255**2 / np.nanmin(mse)))
+    from smoe_tpu.core.losses import psnr_from_mse
+    best = max(best, psnr_from_mse(float(np.nanmin(mse)), 8))
 print(json.dumps({
     "metric": "4k_block_fit_ms_per_iter", "value": round(min(times)*1000, 2),
     "unit": "ms", "thr": thr, "blocks": s.start_batches, "kernels": k*k,

@@ -59,11 +59,20 @@ def load_native() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so) or stale:
         if not os.path.exists(src):
             return None
+        # build to a private temp path, then rename: atomic against
+        # concurrent builders (multi-process fleets) and never truncates
+        # a .so another live process has dlopen'd
+        tmp = f"{so}.build.{os.getpid()}"
         try:
             subprocess.run(
-                ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o", so,
+                ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o", tmp,
                  src], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+            os.replace(tmp, so)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             if not os.path.exists(so):
                 return None
     try:
@@ -389,15 +398,21 @@ def _symbol_stream(qparams: Dict, bit_depths,
             b = max(int(hi - lo).bit_length(), 1)
             ranges[name] = [lo, b]
             v64 = v64 - lo
+        if b > 32:
+            raise ValueError(
+                f"{name}: quantized values span {b} bits; the coder "
+                f"models at most 32")
         v = v64.astype(np.uint32)
         cands = {"raw": (v, b)}
-        if v.size:
+        zz_ok = b + 1 <= 32     # zigzag modes cost one extra magnitude bit
+        if v.size and zz_ok:
             med = int(np.median(v))
             cands[f"const:{med}"] = (
                 _zigzag(v.astype(np.int64) - med), b + 1)
-        if num_kernels > 1 and v.size % num_kernels == 0 and v.size:
+        if num_kernels > 1 and v.size % num_kernels == 0 and v.size \
+                and zz_ok:
             cands["delta"] = (_delta_encode(v, num_kernels), b + 1)
-        if name == "musX" and cfg is not None and v.size:
+        if name == "musX" and cfg is not None and v.size and zz_ok:
             pred = _musx_grid_pred(
                 cfg.kernels_per_dim, cfg.dim_domain,
                 np.asarray(qparams["lower_bounds"]["musX"]),
@@ -490,7 +505,12 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
             continue
         n = _structural_size(name, shapes[name])
         base = ranges[name][1] if name in ranges else bd[_BD_INDEX[name]]
-        b = base + (1 if modes.get(name, "raw") != "raw" else 0)
+        b = int(base) + (1 if modes.get(name, "raw") != "raw" else 0)
+        if not 0 < b <= 32:
+            # validate the PYTHON int: a uint8 cast would wrap widths
+            # >= 256 (e.g. a corrupt 288 -> 32) past the coder's guard
+            raise ValueError(
+                f"corrupt bitstream: {name} symbol width {b} not in 1..32")
         nbits.append(np.full(n, b, np.uint8))
         group.append(np.full(n, _GROUP_BITS[name], np.uint8))
     nbits = np.concatenate(nbits)

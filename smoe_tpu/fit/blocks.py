@@ -92,10 +92,9 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
 
     # probe points: product over dims of {min, max, mid} of each block's
     # coordinate range (reference smoe.py:2332-2354) — same helper the
-    # trainer uses for motion-recomputed probes
-    mins = coords.min(axis=1)
-    maxs = coords.max(axis=1)
-    probes = np.asarray(probe_points(jnp.asarray(mins), jnp.asarray(maxs)))
+    # trainer uses for motion-recomputed probes; numpy in, so it stays on
+    # host (no device round trip at construction time)
+    probes = probe_points(coords.min(axis=1), coords.max(axis=1))
     centers = blocks.mean(axis=1)[:, :d]
 
     train_mask = None
@@ -178,12 +177,16 @@ def initialize_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray,
     return update_kernel_lists(A, musX, pis, cfg, bset, lists)
 
 
-def probe_points(mins: jnp.ndarray, maxs: jnp.ndarray) -> jnp.ndarray:
+def probe_points(mins, maxs):
     """(B, d) min/max per block -> (B, 3^d, d) {min, max, mid} product
-    probe points (reference smoe.py:2332-2354)."""
+    probe points (reference smoe.py:2332-2354).
+
+    Array-library generic: numpy in stays on host (block-set construction),
+    jnp in stays on device (the trainer's motion-recomputed probes)."""
+    xp = np if isinstance(mins, np.ndarray) else jnp
     d = mins.shape[1]
     mids = 0.5 * (mins + maxs)
-    tt = jnp.stack([mins, maxs, mids], axis=-1)            # (B, d, 3)
+    tt = xp.stack([mins, maxs, mids], axis=-1)             # (B, d, 3)
     idx = np.array(list(product(range(3), repeat=d)))      # (3^d, d)
     return tt[:, np.arange(d)[None, :], idx]               # (B, 3^d, d)
 

@@ -201,9 +201,12 @@ def test_fuzz_bitstream_roundtrip(tmp_path):
         np.testing.assert_array_equal(q["used_kernels"], q2["used_kernels"])
 
 
-def test_corrupt_header_width_rejected(tmp_path, toy_rgb):
-    """A corrupt header claiming >32-bit symbol widths must raise a clear
-    error, not overrun the coder's per-group context rows."""
+@pytest.mark.parametrize("bad_width", [200, 288, 0, -3])
+def test_corrupt_header_width_rejected(tmp_path, toy_rgb, bad_width):
+    """A corrupt header claiming out-of-range symbol widths must raise a
+    clear error, not overrun the coder's per-group context rows (288 also
+    guards the uint8-wrap case: 288 % 256 == 32 would sneak past a
+    post-cast check)."""
     import json
     import struct
 
@@ -216,7 +219,7 @@ def test_corrupt_header_width_rejected(tmp_path, toy_rgb):
     data = open(path, "rb").read()
     hlen = struct.unpack("<I", data[4:8])[0]
     header = json.loads(data[8:8 + hlen].decode())
-    header["bit_depths"] = [200, 18, 6, 10, 10]      # corrupt width
+    header["bit_depths"] = [bad_width, 18, 6, 10, 10]    # corrupt width
     hjson = json.dumps(header).encode()
     open(path, "wb").write(data[:4] + struct.pack("<I", len(hjson))
                            + hjson + data[8 + hlen:])
