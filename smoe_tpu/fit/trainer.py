@@ -492,8 +492,12 @@ class _Compiled:
                                         klists, loss_w, reg, musX_grid,
                                         model_mask, probs, sub, thr_sv,
                                         coords_all, targets_all)
+                # max per-block survivor count: rides the one metrics pull
+                # so run_batched_chunk can tighten the capped-dense width
+                # with NO extra device round trip
+                kmax = jnp.max(jnp.sum(m.survivors, axis=1))
                 return ((p, o, io, m.survivors, rng),
-                        (m.loss, m.mse, m.num_pi, m.num_sv))
+                        (m.loss, m.mse, m.num_pi, m.num_sv, kmax))
 
             carry, ys = jax.lax.scan(
                 body, (params, opt_state, inc_opt_state, klists, rng),
@@ -899,7 +903,20 @@ class Smoe:
         # ONE device->host transfer for all metric arrays: through the
         # remote-TPU tunnel each np.asarray is a separate round trip
         # (~50 ms each measured), which dominates short chunks
-        return tuple(jax.device_get(ys))
+        loss_a, mse_a, npi_a, nsv_a, kmax_a = jax.device_get(ys)
+        # tighten the capped-dense width from the survivor count that rode
+        # along with the metrics (free: same pull).  Shrink-only: growth
+        # goes through update_kernel_list, which invalidates the cache.
+        if self._compiled.pallas[0] and not (
+                len(self._compiled.pallas) > 2 and self._compiled.pallas[2]):
+            cap = max(128, -(-int(kmax_a[-1]) // 128) * 128)
+            k_pad = -(-self.cfg.capacity // 128) * 128
+            new = cap if cap < k_pad else None
+            cur = self._k_cap_cache[0] if self._k_cap_cache else None
+            if self._k_cap_cache is None or new is not None and (
+                    cur is None or new < cur):
+                self._k_cap_cache = (new,)
+        return loss_a, mse_a, npi_a, nsv_a
 
     def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
                     update_reconstruction=False, with_quantized_params=False,
