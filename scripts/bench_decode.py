@@ -57,6 +57,55 @@ def main():
             "psnr_db": round(10 * np.log10(255 ** 2 / mse), 2),
         }), flush=True)
 
+    _video_decode()
+
+
+def _video_decode():
+    """Motion-compensated dual-model VIDEO through the serving decoder:
+    the whole 8-frame volume decodes as one program (motion transform +
+    dual-domain gating baked in)."""
+    from bench_video import build_video
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.quantize import quantize_params, rescaler
+    from smoe_tpu.codec.serve import make_decoder, pad_decoded_params
+    from smoe_tpu.core.quant import apply_qat
+
+    vid, affines = build_video()
+    s = Smoe(vid, kernels_per_dim=[12, 12, 4], affines=affines,
+             init_flag=1, use_yuv=True, use_determinant=True)
+    s.set_optimizer()
+    s.run_batched_chunk(200)
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    s.rparams = rescaler(s.qparams, s.cfg)
+
+    d, c = s.cfg.dim_domain, vid.shape[-1]
+    k = int(np.asarray(s.rparams["pis"]).shape[0])
+    used = np.asarray(s.qparams["used_kernels"], bool)
+    padded = pad_decoded_params(s.rparams, k, d, c)
+    dec = make_decoder(vid.shape[:d], c, s.cfg, k,
+                       motion=np.asarray(apply_qat(s.params, s.cfg).motion),
+                       model_mask=np.asarray(s.model_mask)[used])
+    args = (padded["A"], padded["musX"], padded["nu_e"],
+            padded["gamma_e"], padded["pis"])
+    dec(*args)                                  # compile
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        out = dec(*args)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n
+    t_frames = vid.shape[2]
+    mp = vid.shape[0] * vid.shape[1] * t_frames / 1e6
+    print(json.dumps({
+        "metric": "decode_ms_per_cif_video",
+        "value": round(dt * 1000, 3),
+        "unit": "ms",
+        "frames": t_frames,
+        "ms_per_frame": round(dt * 1000 / t_frames, 3),
+        "megapixels_per_s": round(mp / dt, 1),
+        "kernels": k,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
