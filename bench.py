@@ -51,6 +51,20 @@ def make_smoe(img, device=None):
                 use_determinant=True)
 
 
+def warm_chunk(s, n, rounds=4):
+    """Run n-step chunks until the capped-dense width settles, so the
+    program timed next is compiled at the final cap (the width tightens
+    after each chunk as kernel lists shrink; a mid-timing recompile
+    through the remote tunnel would swamp the measurement)."""
+    prev = object()
+    for _ in range(rounds):
+        s.run_batched_chunk(n)
+        cap = s._current_k_cap()
+        if cap == prev:
+            return
+        prev = cap
+
+
 def time_iters(s, n):
     """Steady-state per-iteration time using the chunked device-side loop."""
     t0 = time.time()
@@ -68,7 +82,7 @@ def main():
     s = make_smoe(img)
     s.set_optimizer()
     s.run_batched_chunk(20)            # compile the 20-step program
-    s.run_batched_chunk(100)           # compile + warm the 100-step program
+    warm_chunk(s, 100)                 # compile + warm at the settled cap
     t_iter_warm = time_iters(s, 100)
 
     # fresh state for the timed fit, reusing the compiled programs
@@ -110,8 +124,7 @@ def main():
     cpu = jax.devices("cpu")[0]
     s_cpu = make_smoe(img, device=cpu)
     s_cpu.set_optimizer()
-    s_cpu.run_batched_chunk(3)         # compile the 3-step program
-    s_cpu.run_batched_chunk(3)         # warm it at the settled k_cap bucket
+    warm_chunk(s_cpu, 3)               # compile + warm at the settled cap
     t_iter_cpu = time_iters(s_cpu, 3)
 
     evals_per_sec = n_pix * best["npi"] / t_iter_warm

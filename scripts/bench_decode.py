@@ -87,7 +87,7 @@ def _video_decode():
                        model_mask=np.asarray(s.model_mask)[used])
     args = (padded["A"], padded["musX"], padded["nu_e"],
             padded["gamma_e"], padded["pis"])
-    dec(*args)                                  # compile
+    dec(*args).block_until_ready()              # compile + drain warm exec
     n = 20
     t0 = time.time()
     for _ in range(n):

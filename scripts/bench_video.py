@@ -47,10 +47,18 @@ def main():
     s.run_batched_chunk(20)
     compile_s = time.time() - t0
 
-    # warm the 100-step program at the settled cap, then time it
-    loss, mse, npi, _ = s.run_batched_chunk(100)
+    # warm the 100-step program at the SETTLED cap (the width tightens
+    # after each chunk; stop when it stops changing), then time it
     from smoe_tpu.core.losses import psnr_from_mse
-    best = psnr_from_mse(float(np.nanmin(mse)), 8)
+    best = 0.0
+    prev = object()
+    for _ in range(4):
+        loss, mse, npi, _ = s.run_batched_chunk(100)
+        best = max(best, psnr_from_mse(float(np.nanmin(mse)), 8))
+        cap = s._current_k_cap()
+        if cap == prev:
+            break
+        prev = cap
     t0 = time.time()
     loss, mse, npi, _ = s.run_batched_chunk(100)
     per_iter = (time.time() - t0) / 100

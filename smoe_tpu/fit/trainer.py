@@ -857,16 +857,24 @@ class Smoe:
         (the device->host count pull is a ~50 ms round trip through the
         remote-TPU tunnel — per chunk, it would rival the chunk itself).
         """
-        pal = self._compiled.pallas
-        if not pal[0] or (len(pal) > 2 and pal[2]):     # off / packed mode
+        if not self._capped_mode():
             return None
         if self._k_cap_cache is None:
             counts = np.asarray(jnp.sum(self._kernel_lists, axis=1))
-            cap = int(counts.max()) if counts.size else 0
-            cap = max(128, -(-cap // 128) * 128)
-            k_pad = -(-self.cfg.capacity // 128) * 128
-            self._k_cap_cache = (cap if cap < k_pad else None,)
+            self._k_cap_cache = (
+                self._cap_bucket(int(counts.max()) if counts.size else 0),)
         return self._k_cap_cache[0]
+
+    def _capped_mode(self) -> bool:
+        """Capped-dense width applies: fused kernel on, not packed mode."""
+        pal = self._compiled.pallas
+        return bool(pal[0]) and not (len(pal) > 2 and pal[2])
+
+    def _cap_bucket(self, count: int) -> Optional[int]:
+        """128-lane bucket for a kernel count; None = full width."""
+        cap = max(128, -(-count // 128) * 128)
+        k_pad = -(-self.cfg.capacity // 128) * 128
+        return cap if cap < k_pad else None
 
     def run_batched_chunk(self, n_steps, pis_l1=0.0, u_l1=0.0,
                           sv_l1_sub_l2=0.0, sampling_percentage=100,
@@ -906,15 +914,12 @@ class Smoe:
         loss_a, mse_a, npi_a, nsv_a, kmax_a = jax.device_get(ys)
         # tighten the capped-dense width from the survivor count that rode
         # along with the metrics (free: same pull).  Shrink-only: growth
-        # goes through update_kernel_list, which invalidates the cache.
-        if self._compiled.pallas[0] and not (
-                len(self._compiled.pallas) > 2 and self._compiled.pallas[2]):
-            cap = max(128, -(-int(kmax_a[-1]) // 128) * 128)
-            k_pad = -(-self.cfg.capacity // 128) * 128
-            new = cap if cap < k_pad else None
-            cur = self._k_cap_cache[0] if self._k_cap_cache else None
-            if self._k_cap_cache is None or new is not None and (
-                    cur is None or new < cur):
+        # goes through update_kernel_list, which invalidates the cache
+        # (the cache is always populated here — _current_k_cap ran above).
+        if self._capped_mode():
+            new = self._cap_bucket(int(kmax_a[-1]))
+            cur = self._k_cap_cache[0]
+            if new is not None and (cur is None or new < cur):
                 self._k_cap_cache = (new,)
         return loss_a, mse_a, npi_a, nsv_a
 
