@@ -17,25 +17,34 @@ from smoe_tpu.config import SmoeConfig
 from smoe_tpu.core.params import SmoeParams
 
 
-def gen_domain(shape_or_kpd, dim: int) -> np.ndarray:
-    """Pixel-domain coordinates.
+def gen_domain(shape_like, dim: int) -> np.ndarray:
+    """Pixel-domain coordinates for an image: per-dim linspace(0, 1, n)
+    inclusive -> (*, d) grid (reference gen_domain with ndarray input,
+    smoe.py:2411-2422).
 
-    * For an image shape: per-dim linspace(0, 1, n) inclusive -> (*, d) grid
-      (reference gen_domain with ndarray input, smoe.py:2411-2422).
-    * For kernels-per-dim (a LIST): centers inset by half a spacing:
-      linspace(1/(2n), 1 - 1/(2n), n) -> (prod(n), d) flat list
-      (reference smoe.py:2415).
-
-    A tuple is treated as a bare image SHAPE (no pixel array needed —
-    decoders know only the geometry).
+    Accepts an image array or a bare shape TUPLE (decoders know only the
+    geometry).  For kernel-grid CENTERS use `kernel_centers` — the two
+    used to share this function dispatching on tuple-vs-list, which
+    silently produced wrong centers for a tuple-typed kernels_per_dim
+    (ADVICE r2).
     """
-    if isinstance(shape_or_kpd, (np.ndarray, tuple)):
-        dims = shape_or_kpd[:dim] if isinstance(shape_or_kpd, tuple) \
-            else shape_or_kpd.shape[:dim]
-        coords = [np.linspace(0.0, 1.0, n) for n in dims]
-        grids = np.meshgrid(*coords, indexing="ij")
-        return np.stack(grids, axis=-1).astype(np.float32)
-    kpd = list(shape_or_kpd)
+    if not isinstance(shape_like, (np.ndarray, tuple)):
+        raise TypeError(
+            f"gen_domain expects an image array or shape tuple, got "
+            f"{type(shape_like).__name__}; for kernels-per-dim centers "
+            f"use kernel_centers()")
+    dims = shape_like[:dim] if isinstance(shape_like, tuple) \
+        else shape_like.shape[:dim]
+    coords = [np.linspace(0.0, 1.0, n) for n in dims]
+    grids = np.meshgrid(*coords, indexing="ij")
+    return np.stack(grids, axis=-1).astype(np.float32)
+
+
+def kernel_centers(kernels_per_dim, dim: int) -> np.ndarray:
+    """Initial kernel-grid centers, inset by half a spacing per dim:
+    linspace(1/(2n), 1 - 1/(2n), n) -> (prod(n), d) flat list
+    (reference smoe.py:2415).  Accepts any sequence (list OR tuple)."""
+    kpd = list(kernels_per_dim)
     if len(kpd) == 1:
         kpd = kpd * dim
     coords = [np.linspace(0.5 / n, 1.0 - 0.5 / n, n) for n in kpd]
@@ -54,7 +63,7 @@ def generate_kernel_grid(cfg: SmoeConfig) -> Tuple[np.ndarray, np.ndarray]:
     kpd = list(cfg.kernels_per_dim)
     if len(kpd) == 1:
         kpd = kpd * d
-    musX = gen_domain(kpd, d)
+    musX = kernel_centers(kpd, d)
     a_vals = np.array([2.0 * (k + 1) for k in kpd], dtype=np.float32)
     A = np.tile(np.diag(a_vals)[None], (musX.shape[0], 1, 1)).astype(np.float32)
     if cfg.train_inverse_cov:
@@ -155,6 +164,18 @@ def init_params(image: np.ndarray, cfg: SmoeConfig,
     if cfg.dim_domain == 3 and (cfg.train_trafo or cfg.num_frames > 0):
         from smoe_tpu.core.params import init_motion_identity
         motion = np.asarray(init_motion_identity(cfg.num_frames or image.shape[2]))
+        if cfg.train_trafo and init is None:
+            # the motion transform replaces every pixel's t with the
+            # constant plane TIME_PLANE=-5 (reference smoe.py:684), so
+            # motion-compensated kernels must live on that plane too
+            # (reference sets musX_init[:, 2] = -5, smoe.py:304).  The
+            # affines-driven video init does this via video_kernel_init;
+            # the plain train_trafo init (learn motion from identity)
+            # needs the same or every maha is astronomically large and
+            # the fit never moves.
+            from smoe_tpu.video.motion import TIME_PLANE
+            musX = musX.copy()
+            musX[:, 2] = TIME_PLANE
 
     sv = sv_bw_diag = sv_bw_corr = None
     if cfg.train_svs:

@@ -79,8 +79,9 @@ class EffParams(NamedTuple):
 
 
 def effective_params(params: SmoeParams, cfg: SmoeConfig,
-                     musX_grid: Optional[jnp.ndarray]) -> EffParams:
-    eff = apply_qat(params, cfg)
+                     musX_grid: Optional[jnp.ndarray],
+                     kernel_axis: Optional[str] = None) -> EffParams:
+    eff = apply_qat(params, cfg, kernel_axis=kernel_axis)
     musX = eff.musX + musX_grid if (cfg.use_diff_center and musX_grid
                                     is not None) else eff.musX
     return EffParams(A=assemble_A(eff, cfg), musX=musX, nu_e=eff.nu_e,
@@ -122,7 +123,8 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
                  model_mask: Optional[jnp.ndarray],
                  fused: Tuple[bool, bool] = (False, False),
                  sv_add: Optional[jnp.ndarray] = None,
-                 spatial: Optional[Tuple[int, ...]] = None) -> ForwardOut:
+                 spatial: Optional[Tuple[int, ...]] = None,
+                 kernel_axis: Optional[str] = None) -> ForwardOut:
     """Forward from the effective view (handles motion + dual model).
 
     fused = (enabled, interpret): route through the Pallas gate+expert
@@ -130,6 +132,11 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
     gradients, i.e. not train_trafo video).
     sv_add: (Nb,) precomputed SV residual added to the Y channel pre-clip.
     spatial: block pixel shape for the packed kernel's patch ordering.
+    kernel_axis: mesh axis name when the kernel rows are sharded (TP/EP):
+    the gating denominator and the partial expert sums each psum over it
+    (the only cross-shard reductions in the forward, reference smoe.py:820);
+    forces the XLA path (the fused Pallas kernel normalizes in-kernel and
+    cannot psum mid-flight).
     """
     coords_raw = None
     if eff.motion is not None and cfg.dim_domain == 3:
@@ -140,7 +147,7 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         coords_in = coords_t
     else:
         coords_in = coords
-    if (fused[0] and not cfg.train_inverse_cov
+    if (fused[0] and kernel_axis is None and not cfg.train_inverse_cov
             and not (eff.motion is not None and cfg.train_trafo)):
         from smoe_tpu.core.model import forward_fused
         return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
@@ -152,8 +159,10 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
                              k_cap=fused[3] if len(fused) > 3 else None)
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
-    w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask)
-    res = expert_regression(w_e, coords_in, eff.nu_e, eff.gamma_e, cfg)
+    w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask,
+                 kernel_axis=kernel_axis)
+    res = expert_regression(w_e, coords_in, eff.nu_e, eff.gamma_e, cfg,
+                            kernel_axis=kernel_axis)
     if sv_add is not None:
         res = res.at[:, 0].add(sv_add)    # Y channel (reference smoe.py:854)
     res = jnp.clip(res, 0.0, 1.0)
@@ -174,18 +183,24 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
                 model_mask: Optional[jnp.ndarray],
                 block_padded: Tuple[int, ...],
                 fused: Tuple[bool, bool] = (False, False),
-                sv_blk=None, thr_sv=None):
+                sv_blk=None, thr_sv=None,
+                kernel_axis: Optional[str] = None):
     """Loss of one block; differentiated w.r.t. raw params (QAT is STE).
 
     Mirrors the loss assembly of reference smoe.py:899-1051.
     sv_blk: optional (sv_rows, bw_diag, bw_corr) slices for this block.
+    kernel_axis: mesh axis when kernel rows are sharded (TP/EP): the QAT-3
+    bounds, gating denominator, expert sums, active-kernel count, and the
+    regularizer sums each become one psum over that axis; everything else
+    runs on the local K/nk rows.
     """
-    eff = effective_params(params, cfg, musX_grid)
+    eff = effective_params(params, cfg, musX_grid, kernel_axis=kernel_axis)
     sv_add, sv_eff = None, None
     if sv_blk is not None:
         sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
     out = _forward_eff(eff, cfg, coords, kernel_mask, model_mask,
-                       fused=fused, sv_add=sv_add, spatial=block_padded)
+                       fused=fused, sv_add=sv_add, spatial=block_padded,
+                       kernel_axis=kernel_axis)
 
     if cfg.ssim_opt:
         c = targets.shape[-1]
@@ -207,15 +222,23 @@ def _block_loss(params: SmoeParams, cfg: SmoeConfig,
 
     active = kernel_mask & (eff.pis > 0)
     num_active = jnp.sum(eff.pis > 0)
-    qp = SmoeParams(musX=eff.musX, a_diag=None, a_corr=None, pis=eff.pis,
-                    nu_e=eff.nu_e, gamma_e=eff.gamma_e)
-    loss = loss_pix
-    loss = loss + L.pis_l1_reg(qp, cfg, active, reg.pis_l1, num_active)
+    s_pis = jnp.sum(jnp.where(active, eff.pis, 0.0))
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
-    loss = loss + reg.u_l1 * jnp.sum(jnp.where(active[:, None], diag_A, 0.0))
+    s_diag = jnp.sum(jnp.where(active[:, None], diag_A, 0.0))
+    if kernel_axis is not None:
+        # the regularizers + live-count sum over ALL kernels (reference
+        # smoe.py:1012, 1018-1027, 1044) — one fused psum over the shards
+        num_active, s_pis, s_diag = jax.lax.psum(
+            (num_active, s_pis, s_diag), kernel_axis)
+    norm = (num_active.astype(jnp.float32) if cfg.kernel_count_as_norm_l1
+            else float(cfg.start_pis))
+    loss = loss_pix + reg.pis_l1 * s_pis / norm + reg.u_l1 * s_diag
     if sv_eff is not None:
+        # normalize by the FED SV count (== block pixels without
+        # subsampling; == sample_n with it, matching the reference's
+        # per-fed-pixel normalization, smoe.py:1029-1036 + :1664-1682)
         loss = loss + L.sv_l1_sub_l2_reg(sv_eff, reg.sv_l1_sub_l2,
-                                         int(np.prod(block_padded)))
+                                         int(sv_eff.shape[0]))
     return loss, (mse, out.survivors, err_map, num_active)
 
 
@@ -255,6 +278,37 @@ def make_tx(cfg: SmoeConfig, opt_cfg: OptConfig, inc: bool = False):
     return optax.multi_transform(transforms, labels)
 
 
+def fit_mesh_to_blocks(mesh, num_blocks: int):
+    """Elastic fleet-shape adaptation (VERDICT r2 #6): when the block count
+    does not divide the mesh's 'b' axis — e.g. resuming a checkpoint on a
+    differently-sized fleet (the reference analog is job-array resume,
+    smoe_test.py:112-116) — shrink the 'b' axis to the largest divisor of
+    the block count and train on that device subset.
+
+    Only legal when the sub-mesh still spans every participating process
+    (in multi-process JAX a program cannot run on a mesh that orphans a
+    process's devices); otherwise the original divisibility error stands.
+    """
+    from jax.sharding import Mesh
+    nb = int(mesh.shape["b"])
+    B = int(num_blocks)
+    if B % nb == 0:
+        return mesh
+    nb2 = max(d for d in range(1, min(nb, B) + 1) if B % d == 0)
+    sub = mesh.devices[:nb2]
+    procs_all = {d.process_index for d in mesh.devices.flat}
+    procs_sub = {d.process_index for d in sub.flat}
+    if procs_sub != procs_all:
+        raise ValueError(
+            f"{B} blocks do not divide over the {nb}-way 'b' mesh axis, "
+            f"and shrinking to {nb2} devices would orphan processes "
+            f"{sorted(procs_all - procs_sub)}; choose start_batches as a "
+            f"multiple of the fleet size")
+    print(f"elastic mesh: {B} blocks do not divide the {nb}-way 'b' axis; "
+          f"training on {nb2} of {nb} devices")
+    return Mesh(sub, mesh.axis_names)
+
+
 # --------------------------------------------------------------------------
 # compiled sweeps (built per (cfg, static flags) by _Compiled)
 # --------------------------------------------------------------------------
@@ -269,12 +323,26 @@ class _Compiled:
         self.opt_cfg = opt_cfg
         self.num_pixel = num_pixel
         self.mesh = mesh
+        self.nk = 1
         if mesh is not None:
             nb_dev = mesh.shape["b"]
             B = int(bset.coords.shape[0])
             assert B % nb_dev == 0, (
                 f"{B} blocks do not divide over the {nb_dev}-way 'b' mesh "
                 f"axis; choose start_batches as a multiple of the mesh size")
+            if "k" in mesh.axis_names:
+                self.nk = int(mesh.shape["k"])
+            if self.nk > 1:
+                assert cfg.capacity % self.nk == 0, (
+                    f"kernel capacity {cfg.capacity} does not divide over "
+                    f"the {self.nk}-way 'k' mesh axis")
+        # kernel_axis: set when the ('b','k') mesh shards the K rows — the
+        # TP/EP strategy of SURVEY §2.2 inside the FULL trainer: params,
+        # optimizer state, and gradients live on their kernel shard; the
+        # forward needs exactly two psums (gating denominator + partial
+        # expert sums, reference smoe.py:820) plus one for the QAT-3 bounds
+        # and one for the regularizer sums.
+        self.kernel_axis = "k" if self.nk > 1 else None
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
         from smoe_tpu.core.model import resolve_pallas
         # The packed (block-sparse) kernel variant is opt-in
@@ -285,6 +353,12 @@ class _Compiled:
         mode = cfg.use_pallas
         base = resolve_pallas("on" if mode == "packed" else mode)
         self.pallas = base + (mode == "packed",)
+        if self.kernel_axis is not None:
+            # the fused Pallas kernel normalizes the gating in-VMEM and
+            # cannot psum mid-kernel; under K-sharding each device runs the
+            # XLA path on its K/nk rows (already the narrow-width win that
+            # capped-dense emulates on one chip)
+            self.pallas = (False, False)
         self._train_fns: Dict[Any, Any] = {}
         self.tx_main = self._make_tx(inc=False)
         self.tx_inc = self._make_tx(inc=True)
@@ -344,10 +418,11 @@ class _Compiled:
         cfg = self.cfg
         bset = self.bset
         bw = self.block_weight
+        ka = self.kernel_axis
         row_mask = self._row_masks(cfg.capacity)
         sample_n = int(round(np.prod(bset.block_padded) * sampling_pct / 100.0))
         do_sample = (sampling_pct < 100 and not cfg.ssim_opt
-                     and cfg.overlap == 0 and not cfg.train_svs)
+                     and cfg.overlap == 0)
         with_sv = cfg.train_svs
         nb = int(np.prod(bset.block_padded))
 
@@ -379,11 +454,17 @@ class _Compiled:
                 targets = targets[idx]
                 lw = None if lw is None else lw[idx]
                 valid = None
+                if sv_blk is not None:
+                    # SV rows/bandwidths ride the SAME sampled indices as
+                    # their pixels (the reference feeds the SV mask
+                    # alongside the sampled block, smoe.py:1664-1682) —
+                    # grads flow only to the sampled SVs
+                    sv_blk = tuple(a[idx] for a in sv_blk)
 
             return _block_loss(params, cfg, coords, targets, kmask, valid,
                                lw, reg, musX_grid, model_mask,
                                bset.block_padded, fused=fused_spec,
-                               sv_blk=sv_blk, thr_sv=thr_sv)
+                               sv_blk=sv_blk, thr_sv=thr_sv, kernel_axis=ka)
 
         grad_fn = jax.value_and_grad(loss_for_block, has_aux=True)
 
@@ -409,6 +490,10 @@ class _Compiled:
                 zero_g = jax.tree_util.tree_map(
                     lambda x: pvary(x, "b"), zero_g)
                 zero_s = pvary(zero_s, "b")
+                if ka is not None and zero_g.motion is not None:
+                    # motion grads vary over 'k' too (they flow through the
+                    # K-sharded maha), so the accumulator must as well
+                    zero_g = zero_g.replace(motion=pvary(zero_g.motion, ka))
 
             def body(carry, xs):
                 g_acc, loss_acc, mse_acc = carry
@@ -430,16 +515,38 @@ class _Compiled:
                 grads = jax.lax.psum(grads, "b")
                 loss = jax.lax.psum(loss, "b")
                 mse = jax.lax.psum(mse, "b")
+                if ka is not None and grads.motion is not None:
+                    # motion acts on the coords BEFORE the K-sharded maha,
+                    # so each kernel shard holds only its kernels' share of
+                    # d loss/d motion — sum the partials.  (SV grads need
+                    # no 'k' psum: the SV residual joins AFTER the expert
+                    # psum, so every shard computes the full grad already.)
+                    grads = grads.replace(
+                        motion=jax.lax.psum(grads.motion, ka))
             return grads, loss, mse, survivors
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from smoe_tpu.parallel.compat import shard_map as _shard_map
+            if ka is None:
+                pspec, mg_spec, mm_spec = P(), P(), P()
+                kl_spec = P("b")
+            else:
+                # kernel-indexed leaves live on their 'k' shard end to end
+                # (params, grads, and — via GSPMD through the optax update
+                # outside shard_map — the Adam moments as well)
+                def _leaf_spec(name):
+                    return P() if name in ("motion", "sv", "sv_bw_diag",
+                                           "sv_bw_corr") else P("k")
+                pspec = SmoeParams(**{f: _leaf_spec(f)
+                                      for f in SmoeParams.FIELDS})
+                mg_spec, mm_spec = P("k"), P("k")
+                kl_spec = P("b", "k")
             sweep_all = _shard_map(
                 sweep_grads, mesh=mesh,
-                in_specs=(P(), P("b"), P("b"), P("b"), P("b"), P(), P(),
-                          P(), P("b"), P("b"), P("b"), P()),
-                out_specs=(P(), P(), P(), P("b")))
+                in_specs=(pspec, P("b"), P("b"), kl_spec, P("b"), P(),
+                          mg_spec, mm_spec, P("b"), P("b"), P("b"), P()),
+                out_specs=(pspec, P(), P(), kl_spec))
         else:
             sweep_all = sweep_grads
 
@@ -632,13 +739,22 @@ class Smoe:
                  mesh=None,
                  musX_grid_init: Optional[np.ndarray] = None,
                  **cfg_overrides):
-        """mesh: optional jax.sharding.Mesh with a 'b' axis.  When given, the
-        FULL training semantics (QAT, SSIM, SV, motion, kernel-list refresh,
-        best-snapshot) run multi-chip: the block axis is sharded over 'b'
-        via shard_map around the same per-block loss, with one psum for the
-        accumulated gradients (SURVEY §2.2 SP row).  Params stay replicated
-        (they are tiny next to the pixel data); requires the block count to
-        be a multiple of the 'b' axis size."""
+        """mesh: optional jax.sharding.Mesh with a 'b' axis and optionally a
+        'k' axis.  When given, the FULL training semantics (QAT, SSIM, SV,
+        motion, kernel-list refresh, best-snapshot) run multi-chip:
+
+          * 'b' (SP): the block axis is sharded via shard_map around the
+            same per-block loss, with one psum for the accumulated
+            gradients (SURVEY §2.2 SP row).  Block count must be a
+            multiple of the 'b' axis size.
+          * 'k' (TP/EP): the kernel capacity axis is additionally sharded —
+            params, gradients, and (via GSPMD through the optax update) the
+            Adam moments live on their kernel shard; the forward psums the
+            gating denominator + partial expert sums (reference smoe.py:820)
+            and QAT-3 pmin/pmaxes its active bounds over 'k'.  Kernel lists
+            are sharded P('b','k').  Capacity must be a multiple of the 'k'
+            axis size.  This is the scaling lever for K >~ 10^4 where even
+            capped-dense width saturates a single chip's step time."""
         image = np.asarray(image, np.float32)
         dim = image.ndim - 1
         if cfg is None:
@@ -746,6 +862,11 @@ class Smoe:
                 _block_view(lm.astype(np.float32), cfg.block_shape,
                             cfg.overlap)[..., 0])
 
+        if mesh is not None:
+            # elastic fleet shape: a resumed checkpoint's block count may
+            # not divide a different fleet's 'b' axis — shrink to the
+            # largest dividing device subset (fit_mesh_to_blocks)
+            mesh = fit_mesh_to_blocks(mesh, int(self.bset.coords.shape[0]))
         self.mesh = mesh
         self._coords_dev = self.bset.coords
         self._targets_dev = self.bset.targets

@@ -100,15 +100,11 @@ def make_sharded_train_step(cfg: SmoeConfig, mesh: Mesh, tx,
     (gradient accumulation across the block axis), then the Adam update on
     the kernel shards.
     """
-    assert cfg.quantization_mode != 3, (
-        "the kernel-sharded TP step does not support QAT mode 3 "
-        "(data-derived min/max need a global reduction over K); use the "
-        "full trainer's mesh mode (Smoe(mesh=...)), which keeps params "
-        "replicated")
-
     def device_fn(params, coords, targets, klists, pis_l1, u_l1):
         def block_loss(p, c_blk, t_blk, kmask):
-            eff = apply_qat(p, cfg)
+            # QAT mode 3's data-derived bounds pmin/pmax over the kernel
+            # shards so they stay global (core/quant._masked_min_max)
+            eff = apply_qat(p, cfg, kernel_axis="k")
             res, _ = _sharded_forward(eff, cfg, c_blk, kmask, "k")
             la = Lo.pixel_loss(res, t_blk, cfg)
             active = kmask & (eff.pis > 0)
@@ -201,17 +197,22 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
             (one block).  Lists refresh from influence-culling survivors
             each sweep (reference smoe.py:1763-1766); the host-side probe
             refresh (`Smoe.update_kernel_list`) has no analog here.
+    Overlap (cfg.overlap, reference smoe.py:18-35) and SSIM optimization
+    (cfg.ssim_opt) fan out too: the per-model loss IS the trainer's
+    `_block_loss`, which handles both.  Only the SV residual stays
+    Smoe-only (per-pixel SV state is per-image host bookkeeping).
     Returns (batched final SmoeParams with leading M axis, (M,) final MSEs).
     """
     import optax
     from smoe_tpu.config import OptConfig
     from smoe_tpu.core.init import init_params
-    from smoe_tpu.fit.blocks import build_blockset, initialize_kernel_lists
+    from smoe_tpu.fit.blocks import (_block_view, build_blockset,
+                                     initialize_kernel_lists)
     from smoe_tpu.fit.trainer import (RegWeights, _block_loss,
                                       effective_params, make_tx)
 
-    assert not cfg.train_svs and not cfg.ssim_opt, \
-        "fit_many fans out the plain pixel-loss fit"
+    assert not cfg.train_svs, \
+        "fit_many: the SV residual is Smoe-only (per-image SV state)"
     imgs = np.asarray(images, np.float32)
     m = imgs.shape[0]
     ps = [init_params(imgs[i], cfg) for i in range(m)]
@@ -224,18 +225,19 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ps)
 
     # Block geometry is shared across models (equal shapes); the global fit
-    # is the one-block special case of the same sweep.
+    # is the one-block special case of the same sweep.  ONE blockset gives
+    # coords/probes/valid; per-image targets reuse its geometry via
+    # _block_view instead of rebuilding a blockset per image.
     bs = block_shape or cfg.block_shape or None
-    if bs is not None:
-        assert cfg.overlap == 0, \
-            "fit_many block partitioning does not support overlap"
     bset = build_blockset(imgs[0], cfg, bs)
     coords = bset.coords                               # (B, Nb, d)
     B = int(coords.shape[0])
     targets = jnp.stack([
         bset.targets if i == 0
-        else jnp.asarray(build_blockset(imgs[i], cfg, bs).targets)
+        else jnp.asarray(_block_view(imgs[i], bset.block_valued,
+                                     cfg.overlap))
         for i in range(m)])                            # (m, B, Nb, C)
+    valid = bset.valid if cfg.overlap > 0 else None
     r1 = jnp.broadcast_to(jnp.asarray(pis_l1, jnp.float32), (m,))
     r2 = jnp.broadcast_to(jnp.asarray(u_l1, jnp.float32), (m,))
 
@@ -257,7 +259,7 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
         reg = RegWeights(w1, w2, jnp.float32(0.0))
 
         def block_loss_fn(pp, c_blk, t_blk, kmask):
-            return _block_loss(pp, cfg, c_blk, t_blk, kmask, None, None,
+            return _block_loss(pp, cfg, c_blk, t_blk, kmask, valid, None,
                                reg, musX_grid, None, block_padded)
 
         grad_fn = jax.value_and_grad(block_loss_fn, has_aux=True)

@@ -34,28 +34,40 @@ def setup():
     return img, cfg, params, bset
 
 
-def _reference_sweep(params, cfg, bset, tx, opt_state):
+def _reference_sweep(params, cfg, bset, tx, opt_state, klists=None,
+                     pis_l1=0.0, u_l1=0.0):
     """Single-device scan-accumulated sweep for comparison."""
     from smoe_tpu.core import losses as Lo
+    from smoe_tpu.core.params import assemble_A
 
-    def block_loss(p, coords, targets):
+    if klists is None:
+        klists = jnp.ones((bset.coords.shape[0], params.capacity), bool)
+
+    def block_loss(p, coords, targets, kmask):
         eff = apply_qat(p, cfg)
-        out = smoe_forward(eff, cfg, coords)
+        out = smoe_forward(eff, cfg, coords, kernel_mask=kmask)
         la = Lo.pixel_loss(out.res, targets, cfg)
-        return la.loss_pixel, la.mse
+        active = kmask & (eff.pis > 0)
+        num_active = jnp.sum(eff.pis > 0)
+        norm = (num_active.astype(jnp.float32)
+                if cfg.kernel_count_as_norm_l1 else float(cfg.start_pis))
+        reg1 = pis_l1 * jnp.sum(jnp.where(active, eff.pis, 0.0)) / norm
+        diag_A = jnp.diagonal(assemble_A(eff, cfg), axis1=1, axis2=2)
+        reg2 = u_l1 * jnp.sum(jnp.where(active[:, None], diag_A, 0.0))
+        return la.loss_pixel + reg1 + reg2, la.mse
 
     grad_fn = jax.value_and_grad(block_loss, has_aux=True)
     zero = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     def body(carry, xs):
         g_acc, l_acc, m_acc = carry
-        c, t = xs
-        (l, m), g = grad_fn(params, c, t)
+        c, t, km = xs
+        (l, m), g = grad_fn(params, c, t, km)
         return (jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g),
                 l_acc + l / 8, m_acc + m / 8), None
 
     (grads, loss, mse), _ = jax.lax.scan(
-        body, (zero, 0.0, 0.0), (bset.coords, bset.targets))
+        body, (zero, 0.0, 0.0), (bset.coords, bset.targets, klists))
     updates, opt_state = tx.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), loss, mse
 
@@ -102,6 +114,61 @@ class TestShardedStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+    def test_regularizers_and_partial_lists(self, setup, mesh_shape):
+        """Nonzero pis_l1/u_l1 regularizers (psum'd over 'k',
+        sharded.py) with NON-uniform per-block kernel lists sharded
+        P('b','k') must match the single-device sweep."""
+        img, cfg, params, bset = setup
+        mesh = make_mesh(*mesh_shape, devices=cpus)
+        tx = optax.adam(1e-3)
+        step = make_sharded_train_step(cfg, mesh, tx, block_weight=1 / 8)
+
+        # partial lists: block b sees kernels [b mod 4 .. b mod 4 + 12]
+        K = params.capacity
+        kl_np = np.zeros((8, K), bool)
+        for b in range(8):
+            kl_np[b, (b % 4):(b % 4) + 12] = True
+        klists = jnp.asarray(kl_np)
+
+        p_sh, coords, targets, kl = shard_inputs(
+            mesh, params, bset.coords, bset.targets, klists)
+        opt_sh = tx.init(p_sh)
+        p2, _, loss, mse = step(p_sh, opt_sh, coords, targets, kl,
+                                jnp.float32(1e-4), jnp.float32(1e-6))
+
+        p_ref, loss_ref, mse_ref = _reference_sweep(
+            params, cfg, bset, tx, tx.init(params), klists=klists,
+            pis_l1=1e-4, u_l1=1e-6)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p2.pis),
+                                   np.asarray(p_ref.pis), atol=1e-6)
+        # atol 1e-4: Adam's g/sqrt(v) normalization amplifies the
+        # psum-vs-sequential reduction-order noise on near-zero grads
+        np.testing.assert_allclose(np.asarray(p2.a_diag),
+                                   np.asarray(p_ref.a_diag), atol=1e-4)
+
+    def test_qat3_bounds_global_over_k(self, setup):
+        """QAT mode 3 under kernel sharding: the active-kernel min/max
+        bounds pmin/pmax over 'k' (core/quant._masked_min_max), so the
+        sharded step must match single-device bit-for-bit at step 1."""
+        img, cfg, params, bset = setup
+        cfg3 = cfg.replace(quantization_mode=3)
+        mesh = make_mesh(2, 4, devices=cpus)
+        tx = optax.adam(1e-3)
+        step = make_sharded_train_step(cfg3, mesh, tx, block_weight=1 / 8)
+        klists = jnp.ones((8, params.capacity), bool)
+        p_sh, coords, targets, kl = shard_inputs(
+            mesh, params, bset.coords, bset.targets, klists)
+        p2, _, loss, _ = step(p_sh, tx.init(p_sh), coords, targets, kl,
+                              jnp.float32(0), jnp.float32(0))
+
+        p_ref, loss_ref, _ = _reference_sweep(
+            params, cfg3, bset, tx, tx.init(params))
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p2.nu_e),
+                                   np.asarray(p_ref.nu_e), atol=1e-5)
 
 
 class TestMeshTrainer:
@@ -193,6 +260,119 @@ class TestMeshTrainer:
         assert rec.shape == self._img().shape
         assert np.isfinite(rec).all()
 
+    def test_elastic_mesh_non_dividing_fleet(self):
+        """VERDICT r2 #6: a block count that does not divide the fleet's
+        'b' axis shrinks to the largest dividing device subset instead of
+        asserting — the resume-on-a-different-fleet-shape case.  The
+        6-block fit on a 4-device mesh (runs on 3) must track the
+        single-device trainer."""
+        from smoe_tpu.config import OptConfig
+        from smoe_tpu.fit.trainer import Smoe
+        y, x = np.mgrid[0:24, 0:32] / 23.0
+        img = np.stack([.5 + .3 * np.sin(5 * x),
+                        .5 + .3 * np.cos(4 * y + 2 * x),
+                        .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+        runs = []
+        for mesh in (None, jax.sharding.Mesh(np.asarray(cpus[:4]), ("b",))):
+            s = Smoe(img, kernels_per_dim=[4], batch_size=(8, 16),
+                     mesh=mesh)   # 6 blocks: 6 % 4 != 0 -> elastic 3
+            s.set_optimizer(OptConfig(base_lr=1e-3))
+            s.train(20, val_iter=10, pis_l1=1e-4)
+            runs.append(s)
+        assert runs[1].mesh is not None
+        assert int(runs[1].mesh.shape["b"]) == 3
+        np.testing.assert_allclose(runs[0].losses[0][1], runs[1].losses[0][1],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(runs[0].losses[-1][1],
+                                   runs[1].losses[-1][1], rtol=0.05)
+
+
+class TestMeshTrainerBK:
+    """FULL trainer on a ('b','k') mesh: blocks sharded over 'b' AND the
+    kernel capacity axis sharded over 'k' (TP/EP inside the real trainer —
+    VERDICT r2 item 1).  Params/grads/Adam moments live on their kernel
+    shard; the forward psums the gating denominator + expert partials and
+    QAT-3 pmin/pmaxes its bounds over 'k'."""
+
+    def _img(self):
+        y, x = np.mgrid[0:32, 0:32] / 31.0
+        return np.stack([.5 + .3 * np.sin(5 * x),
+                         .5 + .3 * np.cos(4 * y + 2 * x),
+                         .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+
+    def _fit(self, mesh, base_lr=1e-3):
+        from smoe_tpu.config import OptConfig
+        from smoe_tpu.fit.trainer import Smoe
+        s = Smoe(self._img(), kernels_per_dim=[4], batch_size=(8, 8),
+                 quantization_mode=3, mesh=mesh)   # 16 blocks, QAT-3
+        s.set_optimizer(OptConfig(base_lr=base_lr))
+        return s
+
+    @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+    def test_train_matches_single_device(self, mesh_shape):
+        """QAT-3 + kernel lists + regularizers on a ('b','k') mesh tracks
+        the single-device trainer (tolerance covers Adam's amplification
+        of reduction-order float noise)."""
+        from jax.sharding import Mesh
+        nb, nk = mesh_shape
+        mesh = Mesh(np.asarray(cpus[:nb * nk]).reshape(nb, nk), ("b", "k"))
+        runs = []
+        for m in (None, mesh):
+            s = self._fit(m)
+            s.train(40, val_iter=20, pis_l1=1e-4, u_l1=1e-6)
+            runs.append(s)
+        # the very first eval (identical params, pure forward) must agree
+        # to reduction noise; the trained trajectory within 5%
+        np.testing.assert_allclose(runs[0].losses[0][1], runs[1].losses[0][1],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(runs[0].losses[-1][1],
+                                   runs[1].losses[-1][1], rtol=0.05)
+        np.testing.assert_allclose(runs[0].mses[-1][1], runs[1].mses[-1][1],
+                                   rtol=0.05)
+        assert runs[1].best_params is not None
+        assert not bool(np.all(np.asarray(runs[1].kernel_lists)))
+
+    def test_params_actually_sharded_over_k(self):
+        """The kernel leaves end up sharded P('k'): per-device width K/nk
+        (the EP memory/compute claim, not just a spec annotation)."""
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(cpus[:8]).reshape(4, 2), ("b", "k"))
+        s = self._fit(mesh)
+        s.run_batched_chunk(2)
+        K = s.cfg.capacity
+        for leaf in (s.params.pis, s.params.musX, s.params.nu_e):
+            shard_rows = {sh.data.shape[0] for sh in leaf.addressable_shards}
+            assert shard_rows == {K // 2}, (
+                f"expected per-device kernel width {K // 2}, "
+                f"got shards {shard_rows}")
+
+    def test_video_motion_k_axis(self):
+        """train_trafo video on ('b','k'): motion grads are partial per
+        kernel shard and must be psum'd over 'k' (trainer.sweep_grads);
+        parity with single-device validates that reduction."""
+        from jax.sharding import Mesh
+        from smoe_tpu.fit.trainer import Smoe
+        t = np.linspace(0, 1, 4)[None, None, :, None]
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        vid = np.clip(0.5 + 0.3 * np.sin(5 * x[..., None, None] + 2 * t)
+                      + 0.1 * np.cos(4 * y[..., None, None]), 0, 1
+                      ).astype(np.float32)
+        runs = []
+        for mesh in (None,
+                     Mesh(np.asarray(cpus[:8]).reshape(4, 2), ("b", "k"))):
+            s = Smoe(vid, kernels_per_dim=[3, 3, 2], use_yuv=False,
+                     batch_size=(8, 8, 4), train_trafo=True,
+                     num_params_model=4, mesh=mesh)
+            s.set_optimizer()
+            loss_a, _, *_ = s.run_batched_chunk(10)
+            runs.append((np.asarray(loss_a), np.asarray(s.params.motion)))
+        # step-0 loss (pre-update) exact; trajectory + learned motion close
+        np.testing.assert_allclose(runs[0][0][0], runs[1][0][0], rtol=1e-6)
+        assert runs[0][0][-1] < runs[0][0][0]          # actually training
+        np.testing.assert_allclose(runs[0][0], runs[1][0], rtol=5e-3)
+        np.testing.assert_allclose(runs[0][1], runs[1][1],
+                                   rtol=1e-2, atol=1e-5)
+
 
 class TestDataParallel:
     def test_fit_many_images(self):
@@ -255,6 +435,52 @@ class TestDataParallel:
         s.run_batched_chunk(8, pis_l1=1e-4, u_l1=1e-6)
         batched, _ = fit_many(img[None], s.cfg, steps=8,
                               pis_l1=1e-4, u_l1=1e-6)   # blocks from cfg
+        p_ref = s.get_params()
+        s.params = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0]),
+                                          batched)
+        p_dp = s.get_params()
+        for k in p_ref:
+            np.testing.assert_allclose(p_dp[k], p_ref[k], atol=2e-4,
+                                       rtol=1e-3, err_msg=k)
+
+    def test_fit_many_overlap_matches_smoe(self):
+        """VERDICT r2 #8: overlap configs fan out — per-block loss sees the
+        interior-crop valid mask; parity vs a blocked+overlap Smoe run."""
+        from smoe_tpu.fit.trainer import Smoe
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([.5 + .3 * np.sin(5 * x),
+                        .5 + .3 * np.cos(4 * y),
+                        .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+        s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 8), overlap=2)
+        s.set_optimizer()
+        s.run_batched_chunk(8, pis_l1=1e-4, u_l1=1e-6)
+        batched, _ = fit_many(img[None], s.cfg, steps=8,
+                              pis_l1=1e-4, u_l1=1e-6)
+        p_ref = s.get_params()
+        s.params = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0]),
+                                          batched)
+        p_dp = s.get_params()
+        for k in p_ref:
+            np.testing.assert_allclose(p_dp[k], p_ref[k], atol=2e-4,
+                                       rtol=1e-3, err_msg=k)
+
+    def test_fit_many_ssim_matches_smoe(self):
+        """VERDICT r2 #8: SSIM-loss configs fan out (same _block_loss).
+
+        lr_mult=1 for the parity check: the default A-group lr (base x
+        1000) turns the vmapped-vs-plain SSIM convolution's float-order
+        noise into visible drift within a few Adam steps."""
+        from smoe_tpu.config import OptConfig
+        from smoe_tpu.fit.trainer import Smoe
+        y, x = np.mgrid[0:16, 0:16] / 15.0
+        img = np.stack([.5 + .3 * np.sin(5 * x),
+                        .5 + .3 * np.cos(4 * y),
+                        .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+        oc = OptConfig(lr_mult=1.0)
+        s = Smoe(img, kernels_per_dim=[3], ssim_opt=True)
+        s.set_optimizer(oc)
+        s.run_batched_chunk(8)
+        batched, _ = fit_many(img[None], s.cfg, steps=8, opt_cfg=oc)
         p_ref = s.get_params()
         s.params = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0]),
                                           batched)

@@ -64,6 +64,34 @@ def test_sv_training_absorbs_residual():
     assert s.reconstruction_sv.shape == (8, 8)
 
 
+def test_sv_with_pixel_subsampling():
+    """VERDICT r2 #7: train_svs composes with sampling_percentage < 100.
+    The SV rows/bandwidths ride the same Gumbel-top-k indices as their
+    pixels (reference feeds the SV mask alongside the sampled block,
+    smoe.py:1664-1682), so only the sampled rows receive gradients."""
+    img = np.full((8, 8, 1), 0.5, np.float32)
+    img[3, 4, 0] = 0.9
+    img[6, 1, 0] = 0.1
+    s = Smoe(img, kernels_per_dim=[2], train_svs=True, use_yuv=False,
+             use_determinant=True)
+    s.set_optimizer()
+    sv0 = np.asarray(s.params.sv).copy()
+    _, m0, _, _ = s.run_batched(train=False)
+
+    # one step at 50%: exactly the sampled SV rows may change
+    s.run_batched(train=True, sampling_percentage=50)
+    changed = np.flatnonzero(np.asarray(s.params.sv)[:, 0] != sv0[:, 0])
+    assert 0 < changed.size <= 32, (
+        f"{changed.size} SV rows changed; at most the 32 sampled may")
+
+    # and the composed config actually trains
+    for _ in range(60):
+        s.run_batched(train=True, sampling_percentage=50)
+    loss, mse, _, _ = s.run_batched(train=False)
+    assert np.isfinite(loss)
+    assert mse < m0
+
+
 def test_sv_reg_and_num_sv_metric():
     img = np.full((8, 8, 1), 0.4, np.float32)
     img[2, 2, 0] = 0.8
