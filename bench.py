@@ -1,8 +1,11 @@
 """Headline benchmark: fit the flagship 512x512 RGB image on one TPU chip.
 
-Metric (BASELINE.md): wall-clock to 32 dB PSNR on 512x512 with the
-reference's default recipe (12 kernels/dim, Adam base_lr 1e-3, pi lr /100,
-A lr x1000 — reference smoe_test.py:264-281).
+Headline metric: steady-state TPU seconds/iteration of the full training
+sweep (reference recipe: Adam base_lr 1e-3, pi lr /100, A lr x1000 —
+reference smoe_test.py:264-281).  This is the jitter-free number (VERDICT
+r2 #9): the wallclock-to-32dB figure rides a sub-second window through
+which the remote-TPU tunnel adds 30-300 ms of round-trip noise, so it is
+reported as a median-of-5 extra, not the headline.
 
 vs_baseline: speedup factor of the TPU per-iteration time over the SAME
 training computation executed on the host CPU backend (a conservative
@@ -85,14 +88,14 @@ def main():
     warm_chunk(s, 100)                 # compile + warm at the settled cap
     t_iter_warm = time_iters(s, 100)
 
-    # fresh state for the timed fit, reusing the compiled programs
+    # fresh state for the timed fits, reusing the compiled programs
     # (reference default recipe; kernel-list probe refresh every 100 iters
-    # like train()'s ukl cadence).  Best of 3 repeats: the remote-TPU
+    # like train()'s ukl cadence).  Median of 5 repeats: the remote-TPU
     # tunnel adds 30-300 ms of per-run round-trip jitter that would
-    # otherwise dominate a sub-second metric.
+    # otherwise dominate the sub-second wallclock figure.
     target_psnr = 32.0
-    best = None          # stats dict of the best run — reported as a unit
-    for _ in range(3):
+    runs = []
+    for _ in range(5):
         s.reinit()
         t0 = time.time()
         iters = 0
@@ -100,8 +103,10 @@ def main():
         t_run = None
         max_iters = 20000
         chunk = 20
+        roundtrips = 0
         while iters < max_iters:
             _, mse_a, npi_a, _ = s.run_batched_chunk(chunk)
+            roundtrips += 1
             iters += chunk
             if iters % 100 == 0:
                 s.update_kernel_list()
@@ -111,14 +116,22 @@ def main():
             if t_run is None and psnr >= target_psnr:
                 t_run = time.time() - t0
                 break
-        run = {"t": t_run if t_run is not None else time.time() - t0,
-               "reached": t_run is not None, "psnr": float(psnr),
-               "iters": iters, "npi": int(npi)}
-        # best = fastest run that reached the target, else fastest overall;
-        # all reported fields come from THIS run so the record is coherent
-        if best is None or (run["reached"], -run["t"]) > \
-                (best["reached"], -best["t"]):
-            best = run
+        runs.append({"t": t_run if t_run is not None
+                     else time.time() - t0,
+                     "reached": t_run is not None, "psnr": float(psnr),
+                     "iters": iters, "npi": int(npi),
+                     "roundtrips": roundtrips})
+    # representative run: median wallclock among runs that reached the
+    # target; if none reached, the run with the BEST psnr (not the
+    # fastest give-up — ADVICE r2)
+    reached = sorted([r for r in runs if r["reached"]],
+                     key=lambda r: r["t"])
+    if reached:
+        rep = reached[len(reached) // 2]
+        t_median = float(np.median([r["t"] for r in reached]))
+    else:
+        rep = max(runs, key=lambda r: r["psnr"])
+        t_median = rep["t"]
 
     # ---- CPU reference point (same computation, host backend) ----
     cpu = jax.devices("cpu")[0]
@@ -127,20 +140,22 @@ def main():
     warm_chunk(s_cpu, 3)               # compile + warm at the settled cap
     t_iter_cpu = time_iters(s_cpu, 3)
 
-    evals_per_sec = n_pix * best["npi"] / t_iter_warm
+    evals_per_sec = n_pix * rep["npi"] / t_iter_warm
     speedup = t_iter_cpu / t_iter_warm
     out = {
-        "metric": "wallclock_to_32dB_512x512_rgb",
-        "value": round(best["t"], 3),
-        "unit": "s",
+        "metric": "tpu_s_per_iter_512x512_rgb_256k",
+        "value": round(t_iter_warm, 5),
+        "unit": "s/iter",
         "vs_baseline": round(speedup, 2),
-        "reached_32db": best["reached"],
-        "final_psnr_db": round(best["psnr"], 2),
-        "iters": best["iters"],
-        "tpu_s_per_iter": round(t_iter_warm, 5),
+        "wallclock_to_32db_median_s": round(t_median, 3),
+        "wallclock_runs_s": [round(r["t"], 3) for r in runs],
+        "reached_32db": rep["reached"],
+        "final_psnr_db": round(rep["psnr"], 2),
+        "iters": rep["iters"],
+        "tunnel_roundtrips": rep["roundtrips"],
         "cpu_s_per_iter": round(t_iter_cpu, 5),
         "pixel_kernel_evals_per_sec_per_chip": round(evals_per_sec, 0),
-        "active_kernels": best["npi"],
+        "active_kernels": rep["npi"],
     }
     print(json.dumps(out))
 

@@ -451,10 +451,28 @@ def fused_gate_expert_packed(phi, xe, q, G, pi_det, mask, desc, fro,
                  n_actual, interpret)
 
 
+# Largest K the packed kernel is validated at on real TPU (v5e, Nov-2025
+# libtpu).  At K=9216 the compiled kernel CRASHES the TPU worker inside
+# Mosaic despite an estimated ~6 MB VMEM footprint (ROADMAP.md round 2);
+# scripts/repro_packed_crash.py is the minimal repro.  Until a libtpu with
+# a fix lands, refuse instead of taking the worker down — capped-dense
+# (use_pallas="auto") already removes ~96% of dense work at that size.
+PACKED_VALIDATED_MAX_K = 2304
+
+
 def _impl(phi, xe, q, G, pi_det, mask, desc, fro, thr, floor, n_actual,
           interpret):
     n, f = phi.shape
     k = q.shape[0]
+    if (not interpret and k > PACKED_VALIDATED_MAX_K
+            and os.environ.get("SMOE_PACKED_UNSAFE") != "1"):
+        # SMOE_PACKED_UNSAFE=1 bypasses (repro script only)
+        raise ValueError(
+            f"use_pallas='packed' is validated only to K="
+            f"{PACKED_VALIDATED_MAX_K} on TPU; K={k} crashed the TPU "
+            f"worker (Mosaic, v5e Nov-2025 libtpu — see "
+            f"scripts/repro_packed_crash.py and ROADMAP.md).  Use "
+            f"use_pallas='auto' (capped-dense) for large K.")
     c_dim = G.shape[1] // xe.shape[1]
     args = _prep(phi, xe, q, G, pi_det, mask, desc, fro)
     res, surv = _fwd_call(*args, thr=thr, floor=floor, c_dim=c_dim,

@@ -102,6 +102,50 @@ def test_out_of_range_qm2_values_roundtrip(tmp_path, toy_rgb):
             err_msg=f"{name} mismatch after out-of-range roundtrip")
 
 
+def test_grid_mode_width_overflow_guarded(tmp_path, toy_rgb):
+    """ADVICE r2 (medium): a ranges-shifted musX stream whose 'grid'
+    residuals are computed against unshifted 0..steps predictions can
+    exceed the shifted width+1; before the candidate-fit guard the range
+    coder silently dropped the high bits and the file decoded WRONG.
+
+    Construction: most used kernels sit exactly on low grid slots
+    (residual == the tiny shift -> grid wins the magnitude estimate), one
+    kernel drifted below the lower bound (forcing the shift) while owning
+    a high grid slot (its residual overflows the declared width)."""
+    from smoe_tpu.core.init import kernel_centers
+    from smoe_tpu.fit.trainer import Smoe
+
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+    q = quantize_params(s.get_params(), s.cfg)
+    steps = int(q["steps"]["musX"])
+    grid = kernel_centers((4, 4), 2)              # (16, 2)
+
+    # bounds [0, 1]: quantized grid slot = round(g * steps)
+    q["lower_bounds"]["musX"] = np.zeros(2)
+    q["upper_bounds"]["musX"] = np.ones(2)
+    keep = [0, 1, 4, 5, 15]                       # low slots + one high slot
+    used = np.zeros(16, bool)
+    used[keep] = True
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        q[name] = np.asarray(q[name])[keep]
+    q["used_kernels"] = used
+    pred = np.round(grid[keep] * steps)
+    q["musX"] = pred.astype(np.float64)           # on-slot: residual = shift
+    q["musX"][-1] = [-7.0, -7.0]                  # drifted below lb -> shift
+
+    path = str(tmp_path / "overflow.smoe")
+    bs.write_bitstream(path, q, s.cfg)
+    q2, header = bs.read_bitstream(path)
+    # the overflowing 'grid' candidate must have been rejected...
+    assert header["modes"]["musX"] != "grid"
+    assert "musX" in header.get("ranges", {})
+    # ...and the decode must be EXACT (silent truncation decoded wrong)
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q[name]).round(), np.asarray(q2[name]),
+            err_msg=f"{name} mismatch after overflow-guard roundtrip")
+
+
 def test_interkernel_prediction_beats_proxy(tmp_path):
     """At production kernel counts the predicted+entropy-coded rate must be
     meaningfully below the raw-bits proxy at identical decoded values
