@@ -173,6 +173,45 @@ def test_interkernel_prediction_beats_proxy(tmp_path):
     assert bits < rate_bits(q, s.cfg) * 0.97
 
 
+def test_nbr_mode_spatial_prediction_roundtrip(tmp_path, toy_rgb):
+    """The 'nbr' mode (VERDICT r2 #3) predicts per-kernel streams from the
+    causally-nearest kernel by DECODED musX.  Kernel rows are SHUFFLED out
+    of raster order and values made smooth over POSITION, so raster-delta
+    residuals are large while spatial-neighbor residuals are tiny — nbr
+    must win the magnitude estimate and the file must decode exactly."""
+    from smoe_tpu.fit.trainer import Smoe
+
+    rng = np.random.default_rng(5)
+    s = Smoe(toy_rgb, kernels_per_dim=[8], quantize_pis=True)
+    q = quantize_params(s.get_params(), s.cfg)
+    K = np.asarray(q["musX"]).shape[0]
+    perm = rng.permutation(K)
+    steps_mus = int(q["steps"]["musX"])
+    # shuffled 8x8 grid positions in [0.1, 0.9]^2
+    g = (np.stack(np.meshgrid(np.arange(8), np.arange(8),
+                              indexing="ij"), -1).reshape(-1, 2)
+         / 7.0 * 0.8 + 0.1)[perm]
+    q["lower_bounds"]["musX"] = np.zeros(2)
+    q["upper_bounds"]["musX"] = np.ones(2)
+    q["musX"] = np.round(g * steps_mus).astype(np.float64)
+    # nu LOCALLY smooth over position but globally wide: spatial-neighbor
+    # residuals (~400 * grid spacing) are far below the const-median
+    # spread (~±360), while raster-adjacent rows (shuffled) jump wildly
+    nu = np.asarray(q["nu_e"], np.float64)
+    q["nu_e"] = np.round(np.stack([400 * (g[:, 0] + g[:, 1])] * nu.shape[1],
+                                  axis=1))
+
+    path = str(tmp_path / "nbr.smoe")
+    bs.write_bitstream(path, q, s.cfg)
+    q2, header = bs.read_bitstream(path)
+    assert header["modes"]["nu_e"] == "nbr"
+    assert header["order"][0] == "musX"       # positions decode first
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q[name]).round(), np.asarray(q2[name]),
+            err_msg=f"{name} mismatch after nbr roundtrip")
+
+
 def test_fuzz_symbol_roundtrip():
     """Randomized symbol streams (1..20-bit, all context groups) encode ->
     decode exactly, native and Python coders agreeing bit for bit."""
