@@ -106,19 +106,24 @@ def variant_call(phi, q, G, pi_det, mode: str, thr=1e-4, floor=1e-11):
         out_specs=pl.BlockSpec((tn, c_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, c_dim), jnp.float32),
-    )(phiT, qp, Gp, pip)
+        interpret=os.environ.get("SMOE_BENCH_INTERPRET") == "1",
+    )(phiT, qp.T, Gp, pip[None, :])
     return res[:n]
 
 
-def time_fn(fn, *args, iters=50, reps=5):
-    loop = jax.jit(lambda *a: jax.lax.scan(
-        lambda c, _: (c + jnp.sum(fn(*a)) * 0, None), jnp.float32(0),
-        None, length=iters)[0])
-    jax.block_until_ready(loop(*args))        # compile + warm
+def time_fn(fn_of_c, iters=50, reps=5):
+    """Time fn_of_c(carry) inside a scan.  The carry feeds the next call's
+    inputs (fn must add carry*1e-30 to an operand) so XLA can neither DCE
+    the kernel nor hoist the loop-invariant call out of the scan."""
+    def step(c, _):
+        return jnp.sum(fn_of_c(c)), None
+    loop = jax.jit(lambda: jax.lax.scan(step, jnp.float32(0), None,
+                                        length=iters)[0])
+    jax.block_until_ready(loop())             # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(loop(*args))
+        jax.block_until_ready(loop())
         ts.append((time.time() - t0) / iters)
     return float(np.median(ts))
 
@@ -153,17 +158,19 @@ def main():
 
     # production op (fwd only), for scale reference
     t_prod = time_fn(
-        lambda: fused_gate_expert(jphi, jxe, jq, jG, jpi, jmask,
-                                  1e-4, 1e-11, n, False)[0],
+        lambda c: fused_gate_expert(jphi, jxe, jq + c * 1e-30, jG, jpi,
+                                    jmask, 1e-4, 1e-11, n, False)[0],
         iters=args.iters, reps=args.reps)
-    print(f"production fused fwd        : {t_prod * 1e3:8.3f} ms")
+    print(f"production fused fwd        : {t_prod * 1e3:8.3f} ms",
+          flush=True)
 
     results = {}
     for mode in ("full", "exp2", "no_cull", "no_norm", "no_exp"):
-        t = time_fn(lambda m=mode: variant_call(jphi, jq, jG, jpi, m),
+        t = time_fn(lambda c, m=mode: variant_call(jphi, jq + c * 1e-30,
+                                                   jG, jpi, m),
                     iters=args.iters, reps=args.reps)
         results[mode] = t
-        print(f"variant {mode:12s}        : {t * 1e3:8.3f} ms")
+        print(f"variant {mode:12s}        : {t * 1e3:8.3f} ms", flush=True)
 
     full, floor_t = results["full"], results["no_exp"]
     print(f"\nN={n} K={k}: VPU-elementwise share = "

@@ -36,6 +36,7 @@ def main():
                     help="retrain iterations per time-slab reseed "
                          "(reference hardcodes 1000, 5x on the last slab)")
     ap.add_argument("--val", type=int, default=500)
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     vid, affines = build_video()                    # CIF 288x352x8 RGB pan
@@ -52,15 +53,16 @@ def main():
         "-i", clip, "-r", res_dir,
         "-n", str(args.n), "-ri", str(args.ri),
         "-k", str(args.k), str(args.k), "4",
-        "-v", str(args.val),
+        "-v", str(args.val), "-lr", str(args.lr),
         "-qm", "1",
     ])
     fit_s = time.time() - t0
 
-    # receiver-side decode: .smoe bitstream -> volume, no trainer state
+    # receiver-side decode of the BEST-validation model (the reference's
+    # params_best analog): .smoe bitstream -> volume, no trainer state
     from smoe_tpu.codec.serve import decode_bitstream
     from smoe_tpu.io.images import read_image
-    smoe_file = os.path.join(res_dir, "model_last.smoe")
+    smoe_file = os.path.join(res_dir, "model_best.smoe")
     bits = os.path.getsize(smoe_file) * 8
     t0 = time.time()
     rec = np.asarray(decode_bitstream(smoe_file))

@@ -296,30 +296,43 @@ def main(args=None):
         losses=smoe.get_losses(), mses=smoe.get_mses(),
         num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
     if quant and multihost.primary():
-        # self-contained entropy-coded bitstream of the final model —
-        # decodable by cli/decode or codec/serve.decode_bitstream alone
-        # (incl. trained motion + dual-model assignment for video)
+        # self-contained entropy-coded bitstreams — decodable by
+        # cli/decode or codec/serve.decode_bitstream alone (incl. trained
+        # motion + dual-model assignment for video).  Both the LAST and
+        # the BEST-validation model are written, mirroring the
+        # reference's params_best/params_last pair (smoe_test.py:248-249)
+        # — on a diverged tail the receiver wants best, not last.
         from smoe_tpu.codec.bitstream import write_bitstream
-        extra = {"shape_of_img": list(orig.shape[:-1]),
-                 "dim_of_output": orig.shape[-1],
-                 "use_yuv": smoe.cfg.use_yuv,
-                 "use_determinant": smoe.cfg.use_determinant,
-                 "train_gammas": smoe.cfg.train_gammas}
-        if smoe.params.motion is not None:
-            from smoe_tpu.core.quant import apply_qat
-            extra["motion"] = np.asarray(
-                apply_qat(smoe.params, smoe.cfg).motion).tolist()
-            extra["num_params_model"] = int(smoe.cfg.num_params_model)
-            extra["num_frames"] = int(smoe.cfg.num_frames)
-            if smoe.model_mask is not None:
-                used = np.asarray(smoe.qparams["used_kernels"], bool)
-                extra["model_mask"] = np.asarray(
-                    smoe.model_mask)[used].astype(int).tolist()
-        bits = write_bitstream(
-            os.path.join(args.results_path, "model_last.smoe"),
-            smoe.qparams, smoe.cfg, extra=extra)
+        from smoe_tpu.codec.quantize import quantize_params as _qp
         n_pix = int(np.prod(orig.shape[:-1]))
-        print(f"model_last.smoe: {bits} bits, bpp {bits / n_pix:.4f}")
+
+        def _write(name, qparams, pdict):
+            extra = {"shape_of_img": list(orig.shape[:-1]),
+                     "dim_of_output": orig.shape[-1],
+                     "use_yuv": smoe.cfg.use_yuv,
+                     "use_determinant": smoe.cfg.use_determinant,
+                     "train_gammas": smoe.cfg.train_gammas}
+            if smoe.params.motion is not None and "h11" in pdict:
+                # each model snapshot carries ITS OWN (quantized) motion
+                # rows h11..h32 (get_params applies the 8-bit fake-quant)
+                extra["motion"] = np.stack([
+                    np.asarray(pdict[kk], np.float32) for kk in
+                    ("h11", "h12", "h13", "h21", "h22", "h23",
+                     "h31", "h32")]).tolist()
+                extra["num_params_model"] = int(smoe.cfg.num_params_model)
+                extra["num_frames"] = int(smoe.cfg.num_frames)
+                if smoe.model_mask is not None:
+                    used = np.asarray(qparams["used_kernels"], bool)
+                    extra["model_mask"] = np.asarray(
+                        smoe.model_mask)[used].astype(int).tolist()
+            bits = write_bitstream(
+                os.path.join(args.results_path, name),
+                qparams, smoe.cfg, extra=extra)
+            print(f"{name}: {bits} bits, bpp {bits / n_pix:.4f}")
+
+        _write("model_last.smoe", smoe.qparams, smoe.get_params())
+        best = smoe.get_best_params()
+        _write("model_best.smoe", _qp(best, smoe.cfg), best)
     return smoe
 
 
