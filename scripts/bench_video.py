@@ -15,8 +15,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_video(h=288, w=352, t=8, shift=2.0):
-    """CIF-sized panning scene."""
+def build_video(h=288, w=352, t=8, shift=2.0, moving_obj=False):
+    """CIF-sized panning scene.
+
+    moving_obj=True adds a textured square moving AGAINST the pan — a
+    foreground that global motion compensation cannot explain, so the
+    per-time-slab reseeding (raw-domain kernels) has real residuals to
+    absorb (the dual-model fg/bg split of reference smoe.py:280-329)."""
     rng = np.random.default_rng(0)
     y, x = np.mgrid[0:h, 0:w + int(shift * t) + 4]
     y = y / (h - 1)
@@ -27,7 +32,16 @@ def build_video(h=288, w=352, t=8, shift=2.0):
         0.4 + 0.3 * np.sin(3 * (x + y)),
     ], axis=-1).astype(np.float32)
     wide += rng.normal(0, 0.005, wide.shape).astype(np.float32)
-    frames = [wide[:, int(shift * i):int(shift * i) + w] for i in range(t)]
+    frames = [wide[:, int(shift * i):int(shift * i) + w].copy()
+              for i in range(t)]
+    if moving_obj:
+        oy, ox, s = 60, 40, 56
+        yy, xx = np.mgrid[0:s, 0:s] / (s - 1)
+        patch = np.stack([0.2 + 0.6 * yy, 0.7 - 0.5 * xx,
+                          0.5 + 0.4 * yy * xx], -1).astype(np.float32)
+        for i in range(t):
+            py, px = oy + 6 * i, ox + 9 * i       # against the pan
+            frames[i][py:py + s, px:px + s] = patch
     vid = np.clip(np.stack(frames, axis=2), 0, 1)
     affines = np.zeros((t, 2, 3), np.float32)
     affines[:, 0, 0] = 1.0

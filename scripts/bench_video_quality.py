@@ -39,7 +39,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
-    vid, affines = build_video()                    # CIF 288x352x8 RGB pan
+    # CIF 288x352x8 RGB pan + a foreground square moving AGAINST the pan
+    # (the content class the reseed recipe exists for)
+    vid, affines = build_video(moving_obj=True)
     tmp = tempfile.mkdtemp(prefix="smoe_vidq_")
     clip = os.path.join(tmp, "cif.npz")
     np.savez(clip, imgs=np.moveaxis((vid * 255).astype(np.uint8), 2, 0),
@@ -49,11 +51,16 @@ def main():
     from smoe_tpu.cli.fit import main as fit_main
 
     t0 = time.time()
+    # -np 0 (pis start at 1, unnormalized): at K ~ 2000 the normalized
+    # 1/K pis sit BELOW the 10-bit pi quantization step (2/1023), so the
+    # quantized model would collapse (~8 dB decoded) — same fixed-bound
+    # pi semantics as the reference (smoe.py:474-478, 2237-2242)
     smoe = fit_main([
         "-i", clip, "-r", res_dir,
         "-n", str(args.n), "-ri", str(args.ri),
         "-k", str(args.k), str(args.k), "4",
         "-v", str(args.val), "-lr", str(args.lr),
+        "-np", "0",
         "-qm", "1",
     ])
     fit_s = time.time() - t0

@@ -331,7 +331,10 @@ def main(args=None):
             print(f"{name}: {bits} bits, bpp {bits / n_pix:.4f}")
 
         _write("model_last.smoe", smoe.qparams, smoe.get_params())
-        best = smoe.get_best_params()
+        # GLOBAL best across all train phases (reseeds/inc): the
+        # reference's per-phase best can end worse than an earlier
+        # phase's after a diverging retrain (see trainer.py)
+        best = smoe.get_global_best_params()
         _write("model_best.smoe", _qp(best, smoe.cfg), best)
     return smoe
 

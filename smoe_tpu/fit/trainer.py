@@ -905,6 +905,15 @@ class Smoe:
         self.best_qloss = None
         self.best_qmse = None
         self.best_params: Optional[Dict[str, np.ndarray]] = None
+        # GLOBAL best across train() phases: the reference resets
+        # best_loss at the top of every train() call (smoe.py:1508), so
+        # a multi-phase recipe (video reseeds, inc loop) can end with a
+        # "best" worse than an earlier phase's.  best_params keeps the
+        # reference's per-phase semantics; global_best_params never
+        # resets — it is what a receiver-facing codec should ship.
+        self.global_best_loss = None
+        self.global_best_mse = None
+        self.global_best_params: Optional[Dict[str, np.ndarray]] = None
         self.valid = False
         self.qvalid = False
         self.reconstruction_image = None
@@ -1334,11 +1343,24 @@ class Smoe:
 
     def _snapshot_best(self):
         self.best_params = self.get_params()
+        if self.global_best_loss is None or (
+                self.best_loss is not None
+                and self.best_loss < self.global_best_loss):
+            self.global_best_loss = self.best_loss
+            self.global_best_mse = self.best_mse
+            self.global_best_params = self.best_params
 
     def get_best_params(self) -> Dict[str, np.ndarray]:
-        """Best-validation snapshot (reference smoe.py:1835-1849)."""
+        """Best-validation snapshot (reference smoe.py:1835-1849).
+        Per-phase like the reference; see get_global_best_params."""
         return self.best_params if self.best_params is not None \
             else self.get_params()
+
+    def get_global_best_params(self) -> Dict[str, np.ndarray]:
+        """Best snapshot across ALL train() phases (never reset — unlike
+        the reference's per-call best, smoe.py:1508)."""
+        return self.global_best_params if self.global_best_params \
+            is not None else self.get_best_params()
 
     # ---------------- reconstructions ----------------
 
@@ -1402,6 +1424,9 @@ class Smoe:
             "iter": self.iter, "losses": self.losses, "mses": self.mses,
             "num_pis": self.num_pis, "best_loss": self.best_loss,
             "best_mse": self.best_mse, "best_params": self.best_params,
+            "global_best_loss": self.global_best_loss,
+            "global_best_mse": self.global_best_mse,
+            "global_best_params": self.global_best_params,
             "kernel_lists": np.asarray(self.kernel_lists),
             "kernel_count": self.kernel_count,
             "cfg": self.cfg,
@@ -1429,6 +1454,10 @@ class Smoe:
         self.best_loss = state["best_loss"]
         self.best_mse = state["best_mse"]
         self.best_params = state["best_params"]
+        self.global_best_loss = state.get("global_best_loss", self.best_loss)
+        self.global_best_mse = state.get("global_best_mse", self.best_mse)
+        self.global_best_params = state.get("global_best_params",
+                                            self.best_params)
         self.kernel_lists = jnp.asarray(state["kernel_lists"])
         self.kernel_count = state.get("kernel_count", self.kernel_count)
         self.valid = False

@@ -9,10 +9,19 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Skip axon TPU plugin registration entirely (sitecustomize registers it
+# iff PALLAS_AXON_POOL_IPS is set): tests are CPU-only, and every test
+# process otherwise opens a connection through the single-tenant TPU
+# tunnel — dozens of concurrent connections can wedge the remote worker
+# for real TPU jobs running alongside.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import jax  # noqa: E402
 
-# The axon TPU plugin ignores JAX_PLATFORMS; route everything to the CPU
-# backend explicitly (jit respects jax_default_device's platform).
+# Belt and braces: route everything to the CPU backend explicitly
+# (covers an interpreter where the plugin was already registered).
 jax.config.update("jax_default_device", "cpu")
 
 import numpy as np  # noqa: E402
