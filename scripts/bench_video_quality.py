@@ -37,11 +37,15 @@ def main():
                          "(reference hardcodes 1000, 5x on the last slab)")
     ap.add_argument("--val", type=int, default=500)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--static", action="store_true",
+                    help="pure-pan clip (no independently moving object): "
+                         "global motion explains everything, so this "
+                         "isolates the motion-compensated 2D capacity")
     args = ap.parse_args()
 
     # CIF 288x352x8 RGB pan + a foreground square moving AGAINST the pan
     # (the content class the reseed recipe exists for)
-    vid, affines = build_video(moving_obj=True)
+    vid, affines = build_video(moving_obj=not args.static)
     tmp = tempfile.mkdtemp(prefix="smoe_vidq_")
     clip = os.path.join(tmp, "cif.npz")
     np.savez(clip, imgs=np.moveaxis((vid * 255).astype(np.uint8), 2, 0),
@@ -89,7 +93,9 @@ def main():
     # in-trainer best (sanity: decoded PSNR should sit within the
     # quantization loss of this)
     from smoe_tpu.core.losses import psnr_from_mse
-    psnr_train = psnr_from_mse(smoe.get_best_mse(), precision)
+    gm = smoe.global_best_mse if smoe.global_best_mse is not None \
+        else smoe.get_best_mse()
+    psnr_train = psnr_from_mse(gm, precision)
 
     print(json.dumps({
         "metric": "video_cif_e2e_decoded_psnr_db",
@@ -104,7 +110,8 @@ def main():
         "decode_s": round(dec_s, 3),
         "frames": int(orig.shape[2]),
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
-                  f"k={args.k},{args.k},4, qm=1",
+                  f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
+                  + (", static-pan" if args.static else ", moving-obj"),
     }))
 
 

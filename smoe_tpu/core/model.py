@@ -77,11 +77,21 @@ def dual_domain_features(coords_t: jnp.ndarray, coords_raw: jnp.ndarray,
     return phi2, q2
 
 
+# TPU f32 matmuls default to fast reduced-precision passes; exact f32 is
+# REQUIRED on the XLA eval/serve path: the video domain mixes the t=-5
+# motion plane with steering values up to O(10^3), so maha terms reach
+# O(10^8) and cancellation under ~bf16 mantissas corrupts the gating
+# (measured: a CIF dual-model decode read 6.2 dB on TPU vs 17.9 dB on
+# CPU from the SAME bitstream; the fused Pallas kernel was never
+# affected — Mosaic's f32 dot is exact).
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def kernel_quadratics(B: jnp.ndarray, musX: jnp.ndarray) -> jnp.ndarray:
     """q_k = [vec(B_k), -2 B_k mu_k, mu_k^T B_k mu_k].  (K,d,d),(K,d) -> (K, d*d+d+1)."""
     k, d, _ = B.shape
-    Bmu = jnp.einsum("kij,kj->ki", B, musX)
-    const = jnp.einsum("ki,ki->k", Bmu, musX)[:, None]
+    Bmu = jnp.einsum("kij,kj->ki", B, musX, precision=_EXACT)
+    const = jnp.einsum("ki,ki->k", Bmu, musX, precision=_EXACT)[:, None]
     return jnp.concatenate([B.reshape(k, d * d), -2.0 * Bmu, const], axis=-1)
 
 
@@ -101,7 +111,7 @@ def maha_from_A(A: jnp.ndarray, musX: jnp.ndarray, cfg: SmoeConfig,
     if cfg.train_inverse_cov:
         B = A
     else:
-        B = jnp.einsum("klm,knm->kln", A, A)   # A A^T
+        B = jnp.einsum("klm,knm->kln", A, A, precision=_EXACT)   # A A^T
     q = kernel_quadratics(B, musX)             # (K, F)
 
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else coords.dtype
@@ -113,11 +123,13 @@ def maha_from_A(A: jnp.ndarray, musX: jnp.ndarray, cfg: SmoeConfig,
         #   maha = [phi_t, phi_raw] @ [q*m, q*(1-m)]^T  — ONE matmul.
         phi2, q2 = dual_domain_features(coords, coords_raw, q, model_mask)
         maha = jnp.dot(phi2.astype(dt), q2.T.astype(dt),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=_EXACT)
     else:
         phi = quadratic_features(coords)       # (N, F)
         maha = jnp.dot(phi.astype(dt), q.T.astype(dt),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=_EXACT)
     if not cfg.train_inverse_cov:
         # ||A^T (x-mu)||^2 >= 0 by construction in the reference
         # (smoe.py:796-797); the quadratic-feature form can go slightly
@@ -184,14 +196,15 @@ def expert_regression(w_e: jnp.ndarray, coords: jnp.ndarray,
     k, d, c = gamma_e.shape
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else w_e.dtype
     res = jnp.dot(w_e.astype(dt), nu_e.astype(dt),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32, precision=_EXACT)
     if cfg.train_gammas:
         if cfg.only_y_gamma and cfg.use_yuv:
             # zero out slopes for non-Y channels (reference smoe.py:725-729)
             chan_mask = jnp.zeros((c,), gamma_e.dtype).at[0].set(1.0)
             gamma_e = gamma_e * chan_mask[None, None, :]
         g = jnp.dot(w_e.astype(dt), gamma_e.reshape(k, d * c).astype(dt),
-                    preferred_element_type=jnp.float32).reshape(-1, d, c)
+                    preferred_element_type=jnp.float32,
+                    precision=_EXACT).reshape(-1, d, c)
         res = res + jnp.einsum("nd,ndc->nc", coords, g)
     if kernel_axis is not None:
         res = jax.lax.psum(res, kernel_axis)         # <- partial expert sums
@@ -290,7 +303,7 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
     if cfg.train_inverse_cov:
         B = A
     else:
-        B = jnp.einsum("klm,knm->kln", A, A)
+        B = jnp.einsum("klm,knm->kln", A, A, precision=_EXACT)
     q = kernel_quadratics(B, musX)
 
     mask = kernel_mask & (pis > 0)

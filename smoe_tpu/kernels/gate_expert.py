@@ -64,11 +64,20 @@ _TILE_BYTES = int(os.environ.get("SMOE_PALLAS_TILE_BYTES", 2 * 1024 * 1024))
 _TILE_CAP = int(os.environ.get("SMOE_PALLAS_TILE_CAP", 1024))
 
 
-def _tile_n(k_pad: int) -> int:
+def _tile_n(k_pad: int, f_pad: int = 8) -> int:
     """Pixel-tile size: keep each live (TN, K) f32 intermediate at
     ~_TILE_BYTES so several fit in ~16 MB VMEM (tunable via
-    SMOE_PALLAS_TILE_BYTES / SMOE_PALLAS_TILE_CAP for experiments)."""
-    tn = _TILE_BYTES // (4 * k_pad)
+    SMOE_PALLAS_TILE_BYTES / SMOE_PALLAS_TILE_CAP for experiments).
+
+    f_pad widens the per-pixel VMEM footprint (phi tiles + the backward's
+    dq accumulator traffic): the dual-domain video features (f_pad=32)
+    at k_pad=1280 measured 16.95M scoped VMEM against the 16M limit with
+    the k-only budget — a 6% overflow that killed the fused backward's
+    compile (CIF k=16 reseed run, round 3).  Folding 4*f_pad into the
+    denominator shrinks the tile exactly where the wide features bite
+    (1280/32: TN 512 -> 384) and leaves the image configs' tiles
+    unchanged (256/8: 1024; 2560/8: 256)."""
+    tn = _TILE_BYTES // (4 * (k_pad + 4 * f_pad))
     tn = max(128, min(_TILE_CAP, tn))
     return _round_up(tn, 128)
 
@@ -149,7 +158,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, *, thr, floor, c_dim,
     k_pad = q.shape[0]
     ec = G.shape[1]
     e_dim = ec // c_dim
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_tiles = n_pad // tn
 
     kern = functools.partial(
@@ -275,7 +284,7 @@ def _bwd_call(phiT, xeT, q, G, pi_det, g, *, thr, floor, c_dim,
     k_pad = q.shape[0]
     ec = G.shape[1]
     e_dim = ec // c_dim
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_tiles = n_pad // tn
 
     kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,
@@ -344,7 +353,7 @@ def _prep(phi, xe, q, G, pi_det, mask):
     f_pad = _round_up(f, 8)
     e_pad = _round_up(e, 8)
     k_pad = _round_up(k, 128)
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_pad = _round_up(n, tn)
     phiT = _pad_axis(_pad_axis(phi.T, 0, f_pad), 1, n_pad)
     xeT = _pad_axis(_pad_axis(xe.T, 0, e_pad), 1, n_pad)

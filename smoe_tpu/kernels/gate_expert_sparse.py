@@ -333,7 +333,7 @@ def _fwd_call(phiT, xeT, q, G, pi_det, mask, desc, fro, *, thr, floor,
     k_pad = q.shape[0]
     ec = G.shape[1]
     e_dim = ec // c_dim
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_tiles = n_pad // tn
 
     kern = functools.partial(
@@ -368,7 +368,7 @@ def _bwd_call(phiT, xeT, q, G, pi_det, mask, desc, fro, g, *, thr, floor,
     k_pad = q.shape[0]
     ec = G.shape[1]
     e_dim = ec // c_dim
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_tiles = n_pad // tn
 
     kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,
@@ -408,7 +408,7 @@ def _prep(phi, xe, q, G, pi_det, mask, desc, fro):
     f_pad = _round_up(f, 8)
     e_pad = _round_up(e, 8)
     k_pad = _round_up(q.shape[0], KT)
-    tn = _tile_n(k_pad)
+    tn = _tile_n(k_pad, f_pad)
     n_pad = _round_up(n, tn)
     n_tiles = n_pad // tn
     if desc is None:
