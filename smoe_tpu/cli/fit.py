@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=800.0, help="kernel-list probe threshold "
                    "(reference hardcodes 800; 50-150 measured faster at "
                    "unchanged PSNR on 1080p)")
+    p.add_argument("--no_canonicalize", action="store_true",
+                   help="preserve trained steering signs in the codec "
+                   "(reference behavior; default canonicalizes columns to "
+                   "positive diag — measured +10.3 dB on CIF video decode)")
     p.add_argument("-svreg", "--svreg", type=float, default=0)
     p.add_argument("-hpc", "--hpc_mode", type=str2bool, default=False)
     p.add_argument("-cis", "--current_inc_step", type=int, default=0)
@@ -171,6 +175,7 @@ def main(args=None):
         num_params_model=args.num_params_model,
         train_inverse_cov=args.train_inverse_cov,
         probe_maha_threshold=args.probe_maha_threshold,
+        canonicalize_steering=not args.no_canonicalize,
     )
     smoe.set_optimizer()
 

@@ -32,6 +32,40 @@ def reduce_params(params: Dict[str, np.ndarray]):
     return out, idx
 
 
+def canonicalize_steering(params: Dict[str, np.ndarray], cfg: SmoeConfig
+                          ) -> Dict[str, np.ndarray]:
+    """Flip steering-factor columns so every diagonal entry is positive.
+
+    A A^T (the Mahalanobis quadratic form, core/model.maha_from_A) is
+    invariant to per-column sign flips of the lower-triangular factor; the
+    only forward-path consumer of the sign is the determinant normalizer
+    prod(diag A) in the gating (core/model.gating, reference
+    smoe.py:809-815).  Training can drift kernels into prod(diag A) < 0 —
+    a fragile state whose near-zero gating denominators quantization
+    perturbs catastrophically.  Canonicalizing at encode removes the
+    hazard and tightens the A quantization bounds (measured r3: CIF video
+    decode 14.0 -> 24.4 dB with 278/1280 kernels affected; 256^2 image
+    +6.3 dB from a single kernel).  Beyond-reference: the reference codec
+    preserves trained signs (quantizer.py:4-83).
+
+    No-op for train_inverse_cov (the symmetrized form has no column-sign
+    freedom).  Radial: a <- |a| (maha uses a^2; the normalizer is a^d).
+    """
+    if cfg.train_inverse_cov:
+        return params
+    p = {k: (np.array(v) if k in ("A_diagonal", "A_corr") else v)
+         for k, v in params.items()}
+    if cfg.radial_as:
+        p["A_diagonal"] = np.abs(p["A_diagonal"])
+        return p
+    Ad, Ac = p["A_diagonal"], p["A_corr"]
+    for j in range(cfg.dim_domain):
+        flip = Ad[:, j, j] < 0
+        Ad[flip, j, j] *= -1.0
+        Ac[flip, :, j] *= -1.0      # column j's sub-diagonal lives in corr
+    return p
+
+
 def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
                     ) -> Dict[str, np.ndarray]:
     """Uniform scalar quantization of the reduced parameter set.
@@ -40,6 +74,8 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
     reduced internally).  Matches reference quantizer.quantize_params.
     """
     params, used = reduce_params(dict(params))
+    if cfg.canonicalize_steering:
+        params = canonicalize_steering(params, cfg)
     qm = cfg.quantization_mode
     bd = cfg.bit_depths
     radial = cfg.radial_as

@@ -46,6 +46,13 @@ class SmoeConfig:
     quantization_mode: int = 0               # 0 none, 1 post-hoc each val, 2 QAT fixed, 3 QAT var
     bit_depths: Tuple[int, ...] = (20, 18, 6, 10, 10)   # A, musX, nu_e, pis, gamma_e
     quantize_pis: bool = False
+    # Encoder-side steering-sign canonicalization (beyond reference; see
+    # codec/quantize.canonicalize_steering).  A kernel trained into
+    # prod(diag A) < 0 keeps maha invariant but flips its determinant-
+    # normalizer sign — a fragile state that quantization perturbs
+    # catastrophically (measured: CIF video decode 14.0 -> 24.4 dB, 278 of
+    # 1280 kernels affected; 256^2 image 20.9 -> 27.2 dB from ONE kernel).
+    canonicalize_steering: bool = True
     lower_bounds: Tuple[float, ...] = (-2500.0, -0.3, -5.0, 0.0, -32.0)
     upper_bounds: Tuple[float, ...] = (2500.0, 1.3, 5.0, 2.0, 32.0)
 

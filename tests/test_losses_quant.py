@@ -215,6 +215,45 @@ class TestCodecRoundTrip:
         for key in ["pis", "musX", "nu_e", "gamma_e", "A_diagonal"]:
             np.testing.assert_allclose(qp1[key], qp2[key], atol=1.0)
 
+    def test_canonicalize_steering(self, rng):
+        """Column sign flips preserve A A^T exactly, make every diagonal
+        entry positive, and survive quantize->rescale; the raw-sign path
+        stays available via cfg (codec/quantize.canonicalize_steering)."""
+        from smoe_tpu.codec.quantize import canonicalize_steering
+        cfg = SmoeConfig(dim_domain=2, num_channels=3, quantization_mode=1)
+        p = self._params(rng)
+        # drive two kernels into the fragile negative-determinant state
+        p["A_diagonal"][3, 1, 1] *= -1
+        p["A_diagonal"][7, 0, 0] *= -1
+        p["A_corr"][7, 1, 0] *= -1
+        c = canonicalize_steering(p, cfg)
+        for q in (p, c):                       # original left untouched?
+            assert q["A_diagonal"].shape == p["A_diagonal"].shape
+        assert p["A_diagonal"][3, 1, 1] < 0    # input not mutated
+        A0 = np.tril(p["A_diagonal"] + p["A_corr"])
+        A1 = np.tril(c["A_diagonal"] + c["A_corr"])
+        np.testing.assert_allclose(A0 @ A0.swapaxes(1, 2),
+                                   A1 @ A1.swapaxes(1, 2), rtol=1e-6)
+        assert np.all(np.diagonal(c["A_diagonal"], axis1=1, axis2=2) > 0)
+        # flows through quantize_params by default; rescaled A keeps the
+        # canonical signs
+        rp = rescaler(quantize_params(p, cfg), cfg)
+        assert np.all(np.diagonal(rp["A"], axis1=1, axis2=2) > 0)
+        # reference-faithful escape hatch
+        cfg_raw = SmoeConfig(dim_domain=2, num_channels=3,
+                             quantization_mode=1,
+                             canonicalize_steering=False)
+        rp_raw = rescaler(quantize_params(p, cfg_raw), cfg_raw)
+        assert (np.diagonal(rp_raw["A"], axis1=1, axis2=2) < 0).sum() == 2
+        # radial: |a|
+        cfg_r = SmoeConfig(dim_domain=2, num_channels=3, radial_as=True)
+        pr = {"pis": p["pis"], "musX": p["musX"], "nu_e": p["nu_e"],
+              "gamma_e": p["gamma_e"],
+              "A_diagonal": rng.uniform(-50, 50, 20).astype(np.float32),
+              "A_corr": np.zeros((20, 2, 2), np.float32)}
+        cr = canonicalize_steering(pr, cfg_r)
+        assert np.all(cr["A_diagonal"] > 0)
+
     def test_fixed_bounds_mode2(self, rng):
         cfg = SmoeConfig(dim_domain=2, num_channels=3, quantization_mode=2,
                          quantize_pis=True)
