@@ -64,7 +64,7 @@ _TILE_BYTES = int(os.environ.get("SMOE_PALLAS_TILE_BYTES", 2 * 1024 * 1024))
 _TILE_CAP = int(os.environ.get("SMOE_PALLAS_TILE_CAP", 1024))
 
 
-def _tile_n(k_pad: int, f_pad: int = 8) -> int:
+def _tile_n(k_pad: int, f_pad: int = 8, bwd: bool = False) -> int:
     """Pixel-tile size: keep each live (TN, K) f32 intermediate at
     ~_TILE_BYTES so several fit in ~16 MB VMEM (tunable via
     SMOE_PALLAS_TILE_BYTES / SMOE_PALLAS_TILE_CAP for experiments).
@@ -76,7 +76,21 @@ def _tile_n(k_pad: int, f_pad: int = 8) -> int:
     compile (CIF k=16 reseed run, round 3).  Folding 4*f_pad into the
     denominator shrinks the tile exactly where the wide features bite
     (1280/32: TN 512 -> 384) and leaves the image configs' tiles
-    unchanged (256/8: 1024; 2560/8: 256)."""
+    unchanged (256/8: 1024; 2560/8: 256).
+
+    bwd + f_pad>8 (the dual-domain video BACKWARD): Mosaic's scoped stack
+    holds ~6 live (TN, K) f32 intermediates at once — measured 27 bytes
+    per (pixel, kernel) pair (18.66M @ TN=256/K_pad=2944 and 16.96M @
+    TN=384/K_pad=1664, both >16M compile faults in the CIF k=24/k=16
+    reseed runs, round 3; 12.8M @ TN=384/K_pad=1280 compiled fine).
+    Size the tile against a 13 MB budget with that measured rate and
+    round DOWN, so the reseed-grown capped widths can't overflow the
+    scoped-VMEM limit again."""
+    if bwd and f_pad > 8:
+        tn = (13 * 1024 * 1024) // (27 * k_pad + 16 * f_pad)
+        if tn >= 128:
+            return min(_TILE_CAP, (tn // 128) * 128)
+        return max(32, (tn // 32) * 32)
     tn = _TILE_BYTES // (4 * (k_pad + 4 * f_pad))
     tn = max(128, min(_TILE_CAP, tn))
     return _round_up(tn, 128)
@@ -284,7 +298,16 @@ def _bwd_call(phiT, xeT, q, G, pi_det, g, *, thr, floor, c_dim,
     k_pad = q.shape[0]
     ec = G.shape[1]
     e_dim = ec // c_dim
-    tn = _tile_n(k_pad, f_pad)
+    tn = _tile_n(k_pad, f_pad, bwd=True)
+    if n_pad % tn:
+        # the caller padded n to the FORWARD tile; re-pad to the (possibly
+        # smaller) backward tile — extra rows carry zero cotangent, so all
+        # their grad contributions vanish (same mechanism as the n_actual
+        # padding)
+        n_pad = _round_up(n_pad, tn)
+        phiT = _pad_axis(phiT, 1, n_pad)
+        xeT = _pad_axis(xeT, 1, n_pad)
+        g = _pad_axis(g, 0, n_pad)
     n_tiles = n_pad // tn
 
     kern = functools.partial(_bwd_kernel, e_dim=e_dim, c_dim=c_dim,

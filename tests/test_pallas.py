@@ -157,6 +157,45 @@ def test_fused_clamp_gradients_match_reference():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_bwd_tile_repad_wide_features():
+    """Dual-domain-shaped case (F=32) at K_pad=1664 where the BACKWARD
+    picks a smaller pixel tile than the forward (VMEM-budget model,
+    _tile_n bwd=True) and must re-pad the pixel axis: the CIF k=16/k=24
+    reseed runs faulted Mosaic's 16 MB scoped-VMEM limit here (round 3).
+    Gradients must match the plain-jnp reference exactly."""
+    from smoe_tpu.kernels.gate_expert import _tile_n
+    n, f, k, e, c = 300, 32, 1600, 3, 3
+    k_pad, f_pad = 1664, 32
+    tn_f, tn_b = _tile_n(k_pad, f_pad), _tile_n(k_pad, f_pad, bwd=True)
+    assert tn_b < tn_f and tn_f % tn_b, \
+        f"case no longer exercises the re-pad path ({tn_f}, {tn_b})"
+    rng = np.random.default_rng(17)
+    phi = jnp.asarray(rng.normal(0, 0.5, (n, f)), jnp.float32)
+    xe = jnp.asarray(rng.normal(0, 0.5, (n, e)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 0.3, (k, f)), jnp.float32)
+    G = jnp.asarray(rng.normal(0, 0.5, (k, e * c)), jnp.float32)
+    pi_det = jnp.asarray(rng.uniform(0.1, 0.5, (k,)), jnp.float32)
+    mask = jnp.ones((k,), jnp.float32)
+    wts = jnp.asarray(rng.normal(0, 1, (n, c)), jnp.float32)
+
+    def loss_f(q, G, pi_det):
+        res, _ = fused_gate_expert(phi, xe, q, G, pi_det, mask,
+                                   1e-3, 1e-11, n, True)
+        return jnp.sum(res * wts)
+
+    def loss_r(q, G, pi_det):
+        res, _ = gate_expert_reference(phi, xe, q, G, pi_det, mask,
+                                       1e-3, 1e-11)
+        return jnp.sum(res * wts)
+
+    gf = jax.grad(loss_f, (0, 1, 2))(q, G, pi_det)
+    gr = jax.grad(loss_r, (0, 1, 2))(q, G, pi_det)
+    for name, a, b in zip(("q", "G", "pi"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad mismatch for {name}")
+
+
 def test_fused_in_training_sweep():
     """End-to-end: a few fused-path training steps reduce the loss and stay
     finite (use_pallas='on' -> interpret mode on CPU)."""
