@@ -26,6 +26,7 @@ import json
 import os
 import struct
 import subprocess
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -569,7 +570,12 @@ def write_bitstream(path: str, qparams: Dict, cfg,
     if extra:
         header.update(extra)
     payload = encode_symbols(vals, nbits, group)
-    hjson = json.dumps(header).encode("utf-8")
+    # Header bytes count against the real rate too: a CIF dual-model
+    # video header is ~10 KB of JSON (model_mask + used_kernels +
+    # per-group bounds), 13-17% of the file.  zlib level 9 takes it to
+    # ~1.2 KB.  Old readers are unaffected: JSON starts with '{' (0x7b),
+    # a zlib stream with 0x78 — read_bitstream dispatches on that byte.
+    hjson = zlib.compress(json.dumps(header).encode("utf-8"), 9)
     with open(path, "wb") as fd:
         fd.write(MAGIC)
         fd.write(struct.pack("<I", len(hjson)))
@@ -584,7 +590,10 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
         data = fd.read()
     assert data[:4] == MAGIC, "not an SMoE bitstream"
     hlen = struct.unpack("<I", data[4:8])[0]
-    header = json.loads(data[8:8 + hlen].decode("utf-8"))
+    hraw = data[8:8 + hlen]
+    if hraw[:1] != b"{":        # zlib-compressed header (files from v3.1+)
+        hraw = zlib.decompress(hraw)
+    header = json.loads(hraw.decode("utf-8"))
     payload = data[8 + hlen:]
 
     bd = header["bit_depths"]

@@ -301,8 +301,10 @@ def test_corrupt_header_width_rejected(tmp_path, toy_rgb, bad_width):
     bs.write_bitstream(path, q, s.cfg)
     data = open(path, "rb").read()
     hlen = struct.unpack("<I", data[4:8])[0]
-    header = json.loads(data[8:8 + hlen].decode())
+    import zlib
+    header = json.loads(zlib.decompress(data[8:8 + hlen]).decode())
     header["bit_depths"] = [bad_width, 18, 6, 10, 10]    # corrupt width
+    # write the tampered header as plain JSON — readers accept both forms
     hjson = json.dumps(header).encode()
     open(path, "wb").write(data[:4] + struct.pack("<I", len(hjson))
                            + hjson + data[8 + hlen:])
