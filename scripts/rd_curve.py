@@ -4,11 +4,15 @@ Sweeps the pi-L1 sparsifier to trade kernels for quality, measuring the
 REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
-Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
+Usage: python scripts/rd_curve.py [image.png] [iters] [--dp] [--lean]
 
 --dp: fit all RD points concurrently via the data-parallel fan-out
 (parallel/sharded.py fit_many, SURVEY §2.2 DP row) — one model per device
 when >1 device is available, vmapped on one otherwise.
+
+--lean: quantize/code with the measured lean allocation A10/mu12/nu8/
+pi10/g8 instead of the reference depths [20,18,6,10,10] — -28% coded
+bits at equal-or-better decoded PSNR (256^2 RD study, round 3).
 """
 
 import json
@@ -27,8 +31,10 @@ def main():
     from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
     from smoe_tpu.io.images import read_image
 
-    argv = [a for a in sys.argv[1:] if a != "--dp"]
+    argv = [a for a in sys.argv[1:] if a not in ("--dp", "--lean")]
     use_dp = "--dp" in sys.argv[1:]
+    lean = "--lean" in sys.argv[1:]
+    bit_depths = (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10)
     if argv and not argv[0].isdigit():
         img, precision, _ = read_image(argv[0])
         iters = int(argv[1]) if len(argv) > 1 else 1000
@@ -67,7 +73,7 @@ def main():
         from smoe_tpu.parallel.sharded import fit_many
 
         s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
-                 precision=precision)
+                 precision=precision, bit_depths=bit_depths)
         devs = jax.devices()
         mesh = Mesh(np.asarray(devs[:len(pis_vals)]), ("m",)) \
             if len(devs) >= len(pis_vals) else None
@@ -82,7 +88,7 @@ def main():
     else:
         for pis_l1 in pis_vals:
             s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
-                     precision=precision)
+                     precision=precision, bit_depths=bit_depths)
             s.set_optimizer()
             chunk = 100
             done = 0

