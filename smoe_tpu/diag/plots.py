@@ -102,11 +102,15 @@ class ImagePlotter:
 
     @staticmethod
     def _frame0(img):
-        """For video volumes show frame 0; LF shows center view."""
-        if img.ndim == 3 and img.shape[-1] not in (1, 3):
-            return img[:, :, 0]
+        """For video volumes show frame 0; LF shows the center view."""
+        if img.ndim == 5:                      # (U, V, H, W, C) light field
+            return img[img.shape[0] // 2, img.shape[1] // 2]
         if img.ndim == 4:
-            return img[:, :, 0]
+            if img.shape[-1] in (1, 3):        # (H, W, T, C) video
+                return img[:, :, 0]
+            return img[img.shape[0] // 2, img.shape[1] // 2]   # gray LF
+        if img.ndim == 3 and img.shape[-1] not in (1, 3):
+            return img[:, :, 0]                # squeezed grayscale video
         return img
 
 

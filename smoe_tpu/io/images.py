@@ -84,7 +84,7 @@ def read_image(path: str, use_yuv: bool = True
             with h5py.File(path, "r") as f:
                 lf = np.asarray(f["LF"]).transpose()
         orig = lf[..., 0:3]
-        if use_yuv:
+        if use_yuv and orig.shape[-1] == 3:   # grayscale LFs skip YUV
             import cv2
             for i in range(orig.shape[0]):
                 for j in range(orig.shape[1]):
