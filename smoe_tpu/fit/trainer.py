@@ -1254,7 +1254,13 @@ class Smoe:
                 self.iter += chunk
                 loss_val, mse_val = float(loss_a[-1]), float(mse_a[-1])
                 num_pi, num_sv = int(npi_a[-1]), int(nsv_a[-1])
-                validate = i % val_iter == 0
+                # always validate the FINAL iterate too: phases whose
+                # length is not a val_iter multiple otherwise end in a
+                # state the best-snapshot never saw (the CIF reseed
+                # recipe's 1200-iter slabs with val 500 left a 34.9 dB
+                # state uncaptured, round 3) — the reference shares this
+                # blind spot (smoe.py:1539 fires on cadence only)
+                validate = i % val_iter == 0 or i == num_iter
                 do_ukl = i % ukl_iter == 0
 
                 # divergence guard over every step of the chunk
