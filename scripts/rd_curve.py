@@ -79,7 +79,8 @@ def main():
             if len(devs) >= len(pis_vals) else None
         imgs = np.repeat(img[None], len(pis_vals), axis=0)
         batched, _ = fit_many(imgs, s.cfg, steps=iters, mesh=mesh,
-                              pis_l1=np.asarray(pis_vals, np.float32))
+                              pis_l1=np.asarray(pis_vals, np.float32),
+                              refresh_every=100)
         for i, pis_l1 in enumerate(pis_vals):
             s.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x[i]),
                                               batched)

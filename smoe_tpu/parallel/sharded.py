@@ -27,6 +27,7 @@ this module provides the kernel-axis TP/EP step and the DP fan-out.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -178,7 +179,8 @@ def shard_inputs(mesh: Mesh, params: SmoeParams, coords, targets, klists):
 
 def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
              mesh: Optional[Mesh] = None, opt_cfg=None,
-             pis_l1=0.0, u_l1=0.0, block_shape=None):
+             pis_l1=0.0, u_l1=0.0, block_shape=None,
+             refresh_every: Optional[int] = None):
     """Data-parallel RD-sweep fan-out: fit M independent SMoE models, one
     (or more) per device (SURVEY §2.2 DP row).
 
@@ -195,8 +197,12 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
             per-block kernel lists, exactly like `Smoe`'s block training
             (reference smoe.py:1145-1151, 1785-1790); default: global fit
             (one block).  Lists refresh from influence-culling survivors
-            each sweep (reference smoe.py:1763-1766); the host-side probe
-            refresh (`Smoe.update_kernel_list`) has no analog here.
+            each sweep (reference smoe.py:1763-1766).
+    refresh_every: every N sweeps additionally run the PROBE refresh
+            (`update_kernel_lists`, reference smoe.py:2287-2365) vmapped
+            over the model axis, so kernels that migrate toward a block
+            re-enter its list — the analog of `Smoe.update_kernel_list`'s
+            ukl cadence (default None: survivor feedback only).
     Overlap (cfg.overlap, reference smoe.py:18-35) and SSIM optimization
     (cfg.ssim_opt) fan out too: the per-model loss IS the trainer's
     `_block_loss`, which handles both.  Only the SV residual stays
@@ -281,15 +287,25 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
         # (reference smoe.py:1763-1766), same as the trainer's kernel lists
         return optax.apply_updates(p, upd), s, survs, l, mse
 
-    @jax.jit
-    def run(batched, opt_state, kmasks, targets, r1, r2):
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def run(batched, opt_state, kmasks, targets, r1, r2, n_steps):
         def body(carry, _):
             b, s, km = carry
             b, s, km, l, mse = jax.vmap(one_step)(b, s, km, targets, r1, r2)
             return (b, s, km), (l, mse)
         (b, s, km), (ls, mses) = jax.lax.scan(
-            body, (batched, opt_state, kmasks), None, length=steps)
-        return b, mses[-1]
+            body, (batched, opt_state, kmasks), None, length=n_steps)
+        return b, s, km, mses[-1]
+
+    @jax.jit
+    def probe_refresh(batched, kmasks):
+        from smoe_tpu.fit.blocks import update_kernel_lists
+
+        def one(p, km):
+            eff = effective_params(p, cfg, musX_grid)
+            return update_kernel_lists(eff.A, eff.musX, eff.pis, cfg,
+                                       bset, km)
+        return jax.vmap(one)(batched, kmasks)
 
     if mesh is not None:
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -300,5 +316,14 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
         batched = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), batched)
 
-    final, mse = run(batched, opt_state, kmasks, targets, r1, r2)
-    return final, np.asarray(mse)
+    seg = steps if not refresh_every or B == 1 else int(refresh_every)
+    done = 0
+    mse = np.zeros((m,), np.float32)
+    while done < steps:
+        n = min(seg, steps - done)
+        batched, opt_state, kmasks, mse = run(
+            batched, opt_state, kmasks, targets, r1, r2, n)
+        done += n
+        if done < steps:
+            kmasks = probe_refresh(batched, kmasks)
+    return batched, np.asarray(mse)
