@@ -25,7 +25,13 @@ def main(args=None):
                    ("1", "true", "yes"), default=True)
     p.add_argument("-bd", "--bit_depths", type=int, nargs="+",
                    default=[20, 18, 6, 10, 10])
+    p.add_argument("-lean", "--lean_bits", type=lambda v: v.lower() in
+                   ("1", "true", "yes"), default=False,
+                   help="quantize/code with the lean allocation "
+                        "A10/mu12/nu8/pi10/g8 (see cli/fit.py -lean)")
     a = p.parse_args(args)
+    if a.lean_bits:
+        a.bit_depths = [10, 12, 8, 10, 8]
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.container import load_model
