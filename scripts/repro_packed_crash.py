@@ -28,6 +28,37 @@ os.environ["SMOE_PACKED_UNSAFE"] = "1"
 import numpy as np                                             # noqa: E402
 
 
+def run_trainer_shape(args):
+    """Bisect the trainer-context fault: the standalone op passes every
+    K=9216 case, but the full 32-block 4K trainer kills the worker.
+    This reconstructs the EXACT trainer program (per-block argsort
+    packing, patch-desc tile culling, value_and_grad, optax update,
+    lax.scan over blocks AND sweeps) at a chosen block count."""
+    import jax
+    import numpy as np
+    from smoe_tpu import Smoe
+
+    kpd = int(round(np.sqrt(args.k)))             # capacity == --k directly
+    rng = np.random.default_rng(0)
+    h = w = 1024 if args.trainer <= 4 else 2048
+    y, x = np.mgrid[0:h, 0:w] / (h - 1)
+    img = np.stack([.5 + .3 * np.sin(7 * x + 2 * y),
+                    .5 + .25 * np.cos(5 * x * y),
+                    .4 + .3 * np.sin(3 * (x + y))], -1).astype(np.float32)
+    img += rng.normal(0, 0.005, img.shape).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    bb = int(round(np.sqrt(args.trainer)))
+    assert bb * bb == args.trainer, "--trainer must be a square number"
+    s = Smoe(img, kernels_per_dim=[kpd], use_yuv=True,
+             batch_size=(h // bb, w // bb), use_pallas="packed")
+    s.set_optimizer()
+    print(f"trainer-shape: K={s.cfg.capacity} blocks={args.trainer} "
+          f"sweeps={args.sweeps} img={h}x{w}", flush=True)
+    out = s.run_batched_chunk(args.sweeps)
+    print(f"OK trainer-shape: loss={float(out[0][-1]):.6f} "
+          f"mse={float(out[1][-1]):.2f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=9216)
@@ -39,7 +70,19 @@ def main():
     ap.add_argument("--density", type=float, default=1.0,
                     help="fraction of kernels live (packed active-first "
                          "mask; the 4K trainer runs ~0.02)")
+    ap.add_argument("--trainer", type=int, default=0, metavar="BLOCKS",
+                    help="ROADMAP r3 next step: run the REAL trainer "
+                         "(Smoe, use_pallas='packed') on a synthetic 4K "
+                         "image partitioned into BLOCKS blocks — the "
+                         "faulting context is scan-over-32-blocks x "
+                         "sweeps; bisect with 1/2/4/32")
+    ap.add_argument("--sweeps", type=int, default=2,
+                    help="chunk length for --trainer (sweeps per program)")
     args = ap.parse_args()
+
+    if args.trainer:
+        run_trainer_shape(args)
+        return
 
     import jax
     import jax.numpy as jnp
