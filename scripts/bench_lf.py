@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--s", type=int, default=48, help="spatial size")
     ap.add_argument("--val", type=int, default=500)
+    ap.add_argument("--ukl", type=int, default=None,
+                    help="kernel-list refresh cadence (see "
+                         "bench_video_quality --ukl)")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation")
@@ -84,6 +87,8 @@ def main():
             "-k", str(args.kt), str(args.kt), str(args.k), str(args.k),
             "-v", str(args.val), "-lr", str(args.lr),
             "-np", "0", "-qm", "1"]
+    if args.ukl:
+        argv += ["-ukl", str(args.ukl)]
     if args.lean:
         argv += ["-lean", "1"]
     smoe = fit_main(argv)
@@ -127,7 +132,9 @@ def main():
         "decode_s": round(dec_s, 3),
         "views": list(orig.shape[:2]), "spatial": list(orig.shape[2:4]),
         "recipe": f"fit {args.n}, k={args.kt},{args.kt},{args.k},{args.k}, "
-                  f"qm=1, lr={args.lr}" + (", lean" if args.lean else ""),
+                  f"qm=1, lr={args.lr}"
+                  + (f", ukl={args.ukl}" if args.ukl else "")
+                  + (", lean" if args.lean else ""),
     }))
 
 

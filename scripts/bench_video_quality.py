@@ -36,6 +36,16 @@ def main():
                     help="retrain iterations per time-slab reseed "
                          "(reference hardcodes 1000, 5x on the last slab)")
     ap.add_argument("--val", type=int, default=500)
+    ap.add_argument("--ukl", type=int, default=None,
+                    help="kernel-list refresh cadence (iters). The refresh "
+                         "bounds how far unlisted kernels drift before "
+                         "gradients see them again — at --val 500 cadence "
+                         "the decoded PSNR lags the in-list eval by >10 dB "
+                         "(round 3); 100 is the reference's default rhythm")
+    ap.add_argument("--iukl", action="store_true",
+                    help="in-graph per-sweep kernel-list refresh "
+                         "(cfg.in_graph_ukl): bounds unlisted-kernel "
+                         "drift at one sweep")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--static", action="store_true",
                     help="pure-pan clip (no independently moving object): "
@@ -66,7 +76,8 @@ def main():
         "-v", str(args.val), "-lr", str(args.lr),
         "-np", "0",
         "-qm", "1",
-    ])
+    ] + (["-ukl", str(args.ukl)] if args.ukl else [])
+      + (["-iukl", "1"] if args.iukl else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's
@@ -111,6 +122,8 @@ def main():
         "frames": int(orig.shape[2]),
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
+                  + (f", ukl={args.ukl}" if args.ukl else "")
+                  + (", iukl" if args.iukl else "")
                   + (", static-pan" if args.static else ", moving-obj"),
     }))
 

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=800.0, help="kernel-list probe threshold "
                    "(reference hardcodes 800; 50-150 measured faster at "
                    "unchanged PSNR on 1080p)")
+    p.add_argument("-iukl", "--in_graph_ukl", type=str2bool, default=False,
+                   help="refresh kernel lists in-graph every sweep "
+                   "(survivors | probe-near) instead of only every -ukl "
+                   "iterations; bounds unlisted-kernel drift at one sweep "
+                   "(measured: the drift costs >10 dB decoded PSNR on the "
+                   "CIF video recipe at ukl=500)")
     p.add_argument("--no_canonicalize", action="store_true",
                    help="preserve trained steering signs in the codec "
                    "(reference behavior; default canonicalizes columns to "
@@ -184,6 +190,7 @@ def main(args=None):
         num_params_model=args.num_params_model,
         train_inverse_cov=args.train_inverse_cov,
         probe_maha_threshold=args.probe_maha_threshold,
+        in_graph_ukl=args.in_graph_ukl,
         canonicalize_steering=not args.no_canonicalize,
     )
     smoe.set_optimizer()

@@ -89,8 +89,17 @@ class SmoeConfig:
     # far below the influence cull, so probe-distant kernels are dead
     # weight.  800 kept as the reference-faithful default.
     probe_maha_threshold: float = 800.0
-
-    # ---- derived helpers ----
+    # Refresh the per-block kernel lists IN-GRAPH every sweep
+    # (lists <- influence survivors | probe-near) instead of only at the
+    # host-side ukl_iter cadence.  The reference cannot do this (its
+    # lists ride the per-block feed_dict, smoe.py:1672); with a compiled
+    # whole-sweep program the probe maha is a tiny (B*3^d, K) matmul.
+    # Why it matters: a kernel culled from a block's list keeps training
+    # on OTHER blocks and drifts; by the next host refresh its influence
+    # in the culled block is stale garbage.  Measured on the CIF video
+    # recipe (round 3): at ukl=500 the DECODED PSNR lags the in-list
+    # eval by >10 dB; per-sweep refresh bounds the drift at one sweep.
+    in_graph_ukl: bool = False
 
     @property
     def num_kernels_grid(self) -> int:

@@ -44,8 +44,8 @@ from smoe_tpu.core.params import SmoeParams, assemble_A
 from smoe_tpu.core.quant import apply_qat
 from smoe_tpu.core.ssim import ssim_loss
 from smoe_tpu.fit.blocks import (BlockSet, build_blockset,
-                                 initialize_kernel_lists, stitch_blocks,
-                                 update_kernel_lists)
+                                 initialize_kernel_lists, probe_points,
+                                 stitch_blocks, update_kernel_lists)
 from smoe_tpu.video.motion import transform_coords
 
 
@@ -589,6 +589,30 @@ class _Compiled:
                 survivors=survivors)
             return new_params, opt_state, inc_opt_state, metrics
 
+        refresh = bool(getattr(cfg, "in_graph_ukl", False))
+
+        def refresh_lists(params, survivors, coords_all, musX_grid,
+                          model_mask):
+            """Per-sweep in-graph kernel-list refresh: survivors | probe-
+            near (cfg.in_graph_ukl).  Same math as the host-side
+            update_kernel_list, folded into the compiled sweep so unlisted
+            kernels can never drift for more than one sweep (the >10 dB
+            decoded-PSNR pathology measured on the CIF recipe, round 3)."""
+            eff = effective_params(params, cfg, musX_grid)
+            probes = probes_raw = None
+            if eff.motion is not None and cfg.dim_domain == 3:
+                B, Nb, d = coords_all.shape
+                tc = transform_coords(
+                    coords_all.reshape(-1, d), eff.motion,
+                    cfg.num_params_model, cfg.num_frames).reshape(B, Nb, d)
+                probes = probe_points(tc.min(axis=1), tc.max(axis=1))
+                if model_mask is not None:
+                    probes_raw = bset.probes
+            return update_kernel_lists(
+                eff.A, eff.musX, eff.pis, cfg, bset, survivors,
+                probes=probes, probes_raw=probes_raw,
+                model_mask=model_mask if probes_raw is not None else None)
+
         def multi(params, opt_state, inc_opt_state, klists, loss_w, reg,
                   musX_grid, model_mask, probs, rng, thr_sv,
                   coords_all, targets_all):
@@ -599,11 +623,13 @@ class _Compiled:
                                         klists, loss_w, reg, musX_grid,
                                         model_mask, probs, sub, thr_sv,
                                         coords_all, targets_all)
-                # max per-block survivor count: rides the one metrics pull
-                # so run_batched_chunk can tighten the capped-dense width
-                # with NO extra device round trip
-                kmax = jnp.max(jnp.sum(m.survivors, axis=1))
-                return ((p, o, io, m.survivors, rng),
+                lists_next = m.survivors if not refresh else refresh_lists(
+                    p, m.survivors, coords_all, musX_grid, model_mask)
+                # max per-block kernel-list count: rides the one metrics
+                # pull so run_batched_chunk can adapt the capped-dense
+                # width with NO extra device round trip
+                kmax = jnp.max(jnp.sum(lists_next, axis=1))
+                return ((p, o, io, lists_next, rng),
                         (m.loss, m.mse, m.num_pi, m.num_sv, kmax))
 
             carry, ys = jax.lax.scan(
@@ -990,9 +1016,17 @@ class Smoe:
         if not self._capped_mode():
             return None
         if self._k_cap_cache is None:
+            pad = 0
+            if getattr(self.cfg, "in_graph_ukl", False):
+                # entry lists may be survivor-shrunk (eval feedback); the
+                # first in-graph refresh grows them to the probe-near set,
+                # so derive the width from that set (plus headroom) or the
+                # whole first chunk runs truncated
+                self.update_kernel_list()
+                pad = 128
             counts = np.asarray(jnp.sum(self._kernel_lists, axis=1))
-            self._k_cap_cache = (
-                self._cap_bucket(int(counts.max()) if counts.size else 0),)
+            self._k_cap_cache = (self._cap_bucket(
+                (int(counts.max()) if counts.size else 0) + pad),)
         return self._k_cap_cache[0]
 
     def _capped_mode(self) -> bool:
@@ -1042,15 +1076,24 @@ class Smoe:
         # remote-TPU tunnel each np.asarray is a separate round trip
         # (~50 ms each measured), which dominates short chunks
         loss_a, mse_a, npi_a, nsv_a, kmax_a = jax.device_get(ys)
-        # tighten the capped-dense width from the survivor count that rode
-        # along with the metrics (free: same pull).  Shrink-only: growth
-        # goes through update_kernel_list, which invalidates the cache
-        # (the cache is always populated here — _current_k_cap ran above).
+        # adapt the capped-dense width from the kernel-list count that rode
+        # along with the metrics (free: same pull).  Without in-graph
+        # refresh growth only goes through update_kernel_list (which
+        # invalidates the cache), so shrink-only; with cfg.in_graph_ukl the
+        # lists grow inside the chunk too, so follow kmax both ways — a
+        # chunk whose lists outgrew the current cap ran its last sweeps
+        # truncated to the cap width, and the next chunk recompiles wider.
+        # (The cache is always populated here — _current_k_cap ran above.)
         if self._capped_mode():
-            new = self._cap_bucket(int(kmax_a[-1]))
             cur = self._k_cap_cache[0]
-            if new is not None and (cur is None or new < cur):
-                self._k_cap_cache = (new,)
+            if getattr(self.cfg, "in_graph_ukl", False):
+                # one 128-lane bucket of headroom so the next chunk's
+                # in-graph growth fits without truncation
+                self._k_cap_cache = (self._cap_bucket(int(kmax_a[-1]) + 128),)
+            else:
+                new = self._cap_bucket(int(kmax_a[-1]))
+                if new is not None and (cur is None or new < cur):
+                    self._k_cap_cache = (new,)
         return loss_a, mse_a, npi_a, nsv_a
 
     def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
@@ -1304,7 +1347,7 @@ class Smoe:
                 if validate:
                     if self.best_loss is None or loss_val < self.best_loss:
                         self.best_loss = loss_val
-                        self._snapshot_best()
+                        self._snapshot_best(mse=mse_val)
                     self.losses.append((self.iter, loss_val))
                     if self.best_mse is None or mse_val < self.best_mse:
                         self.best_mse = mse_val
@@ -1347,13 +1390,16 @@ class Smoe:
                 out[name] = m[i]
         return out
 
-    def _snapshot_best(self):
+    def _snapshot_best(self, mse=None):
+        """mse: the CURRENT validation's mse (the snapshotted state's),
+        not the running per-phase min — global_best_mse must describe
+        global_best_params (it lagged one validation before round 3)."""
         self.best_params = self.get_params()
         if self.global_best_loss is None or (
                 self.best_loss is not None
                 and self.best_loss < self.global_best_loss):
             self.global_best_loss = self.best_loss
-            self.global_best_mse = self.best_mse
+            self.global_best_mse = self.best_mse if mse is None else mse
             self.global_best_params = self.best_params
 
     def get_best_params(self) -> Dict[str, np.ndarray]:

@@ -16,7 +16,10 @@ if "host_platform_device_count" not in flags:
 # for real TPU jobs running alongside.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD set (not setdefault): the interactive axon session exports
+# JAX_PLATFORMS=axon, and a test process must never ride the single-tenant
+# TPU tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -381,3 +381,52 @@ def test_probe_maha_threshold_knob():
         lists = initialize_kernel_lists(eff.A, eff.musX, eff.pis, cfg, bset)
         counts[thr] = int(np.asarray(lists).sum())
     assert counts[10.0] < counts[800.0]
+
+
+class TestInGraphUkl:
+    """cfg.in_graph_ukl: per-sweep list refresh inside the compiled chunk
+    (survivors | probe-near) — no active probe-near kernel may stay
+    unlisted longer than one sweep (the drift pathology measured at
+    >10 dB decoded-PSNR cost on the CIF recipe, round 3)."""
+
+    def test_probe_near_always_listed(self, rng):
+        img = rng.random((48, 48, 3)).astype(np.float32)
+        s = Smoe(img, kernels_per_dim=(6,), block_shape=(24, 24),
+                 in_graph_ukl=True)
+        s.set_optimizer()
+        s.run_batched_chunk(8)
+        from smoe_tpu.fit.blocks import update_kernel_lists
+        from smoe_tpu.fit.trainer import effective_params
+        eff = effective_params(s.params, s.cfg, s.musX_grid)
+        near = np.asarray(update_kernel_lists(
+            eff.A, eff.musX, eff.pis, s.cfg, s.bset,
+            jnp.zeros_like(s.kernel_lists)))
+        lists = np.asarray(s.kernel_lists)
+        assert np.all(lists[near]), \
+            "an active probe-near kernel is missing from the lists"
+
+    def test_quality_not_worse_than_host_cadence(self, rng):
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        out = {}
+        for iukl in (False, True):
+            s = Smoe(img, kernels_per_dim=(4,), block_shape=(16, 16),
+                     in_graph_ukl=iukl)
+            s.set_optimizer()
+            s.train(30, val_iter=10)
+            out[iukl] = s.best_loss
+        # same small geometry: every kernel is probe-near every block, so
+        # the refreshed lists equal the host-refresh behavior exactly
+        assert out[True] == pytest.approx(out[False], rel=1e-5)
+
+    def test_video_motion_probe_branch(self, rng):
+        # 3-D + affines: the in-graph refresh recomputes probe boxes from
+        # the CURRENT motion params (host analog: trainer.py
+        # update_kernel_list motion branch)
+        vid = rng.random((16, 16, 4, 3)).astype(np.float32)
+        aff = np.tile(np.eye(3, dtype=np.float32)[None], (4, 1, 1))
+        aff[:, 0, 2] = 0.02 * np.arange(4)
+        s = Smoe(vid, kernels_per_dim=(3, 3, 2), affines=aff,
+                 in_graph_ukl=True)
+        s.set_optimizer()
+        loss, *_ = s.run_batched_chunk(3)
+        assert np.isfinite(loss).all()
