@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--ukl", type=int, default=None,
                     help="kernel-list refresh cadence (see "
                          "bench_video_quality --ukl)")
+    ap.add_argument("--iukl", action="store_true",
+                    help="in-graph per-sweep kernel-list refresh")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation")
@@ -89,6 +91,8 @@ def main():
             "-np", "0", "-qm", "1"]
     if args.ukl:
         argv += ["-ukl", str(args.ukl)]
+    if args.iukl:
+        argv += ["-iukl", "1"]
     if args.lean:
         argv += ["-lean", "1"]
     smoe = fit_main(argv)
@@ -134,6 +138,7 @@ def main():
         "recipe": f"fit {args.n}, k={args.kt},{args.kt},{args.k},{args.k}, "
                   f"qm=1, lr={args.lr}"
                   + (f", ukl={args.ukl}" if args.ukl else "")
+                  + (", iukl" if args.iukl else "")
                   + (", lean" if args.lean else ""),
     }))
 

@@ -46,6 +46,18 @@ def main():
                     help="in-graph per-sweep kernel-list refresh "
                          "(cfg.in_graph_ukl): bounds unlisted-kernel "
                          "drift at one sweep")
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="spatial block count (-b): the reference recipe "
+                         "is block-batched; 1 block makes kernel lists "
+                         "degenerate (all-on) and forces full-width dense "
+                         "eval, which the dual-domain fused backward "
+                         "cannot fit in VMEM at k=24")
+    ap.add_argument("--pmt", type=float, default=None,
+                    help="probe maha threshold (default: reference's 800; "
+                         "50 keeps every kernel above the influence floor "
+                         "while holding the capped width down — needed "
+                         "with --iukl at k>=24 where thr=800 lists "
+                         "nearly all of K)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--static", action="store_true",
                     help="pure-pan clip (no independently moving object): "
@@ -77,7 +89,9 @@ def main():
         "-np", "0",
         "-qm", "1",
     ] + (["-ukl", str(args.ukl)] if args.ukl else [])
-      + (["-iukl", "1"] if args.iukl else []))
+      + (["-iukl", "1"] if args.iukl else [])
+      + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
+      + (["-b", str(args.blocks)] if args.blocks else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's
@@ -124,6 +138,8 @@ def main():
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
                   + (f", ukl={args.ukl}" if args.ukl else "")
                   + (", iukl" if args.iukl else "")
+                  + (f", pmt={args.pmt}" if args.pmt is not None else "")
+                  + (f", b={args.blocks}" if args.blocks else "")
                   + (", static-pan" if args.static else ", moving-obj"),
     }))
 

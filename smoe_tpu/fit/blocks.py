@@ -215,5 +215,23 @@ def update_kernel_lists(A: jnp.ndarray, musX: jnp.ndarray, pis: jnp.ndarray,
     maha = maha.reshape(B, P, A.shape[0])
     thr = getattr(cfg, "probe_maha_threshold", MAHA_PROBE_THRESHOLD)
     near = jnp.any(maha < thr, axis=1)                     # (B, K)
+    # center-inside-block criterion: a SHARP kernel deep inside a block
+    # can read maha > thr at every boundary/center probe (A ~ 1000 at
+    # 0.03 from the nearest probe exceeds even the reference's 800) yet
+    # dominate its neighborhood — the probe grid's known blind spot
+    # (reference smoe.py:2332-2354 has it too).  Membership by center box
+    # test closes it for ~free and makes tight thresholds (pmt 50) safe.
+    def _inside(points, probe_box):
+        lo = probe_box.min(axis=1)                         # (B, d)
+        hi = probe_box.max(axis=1)
+        return jnp.all((points[None, :, :] >= lo[:, None, :])
+                       & (points[None, :, :] <= hi[:, None, :]), axis=-1)
+    inside = _inside(musX, pr)
+    if probes_raw is not None and model_mask is not None:
+        # model_mask False = model-1 kernels live on the RAW domain
+        # (maha_from_A routes them to coords_raw the same way)
+        inside = jnp.where(model_mask[None, :], inside,
+                           _inside(musX, probes_raw))
+    near = near | inside
     active = pis > 0
     return lists | (near & active[None, :])

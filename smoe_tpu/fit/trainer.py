@@ -589,7 +589,10 @@ class _Compiled:
                 survivors=survivors)
             return new_params, opt_state, inc_opt_state, metrics
 
-        refresh = bool(getattr(cfg, "in_graph_ukl", False))
+        # inc-candidate rows have pis=0 until apply_inc, so a refresh
+        # during train_inc would drop them from every list and cut their
+        # gradients — keep the host-cadence behavior for inc phases
+        refresh = bool(getattr(cfg, "in_graph_ukl", False)) and not train_inc
 
         def refresh_lists(params, survivors, coords_all, musX_grid,
                           model_mask):
@@ -1018,11 +1021,12 @@ class Smoe:
         if self._k_cap_cache is None:
             pad = 0
             if getattr(self.cfg, "in_graph_ukl", False):
-                # entry lists may be survivor-shrunk (eval feedback); the
-                # first in-graph refresh grows them to the probe-near set,
-                # so derive the width from that set (plus headroom) or the
-                # whole first chunk runs truncated
-                self.update_kernel_list()
+                # entry lists may be survivor-shrunk (eval feedback) OR
+                # all-on (video init): rebuild them as exactly the
+                # probe-near & active set — the in-graph refresh invariant
+                # — and size the width from that (plus headroom), or the
+                # first chunk runs truncated / at a degenerate full width
+                self.update_kernel_list(replace=True)
                 pad = 128
             counts = np.asarray(jnp.sum(self._kernel_lists, axis=1))
             self._k_cap_cache = (self._cap_bucket(
@@ -1170,12 +1174,18 @@ class Smoe:
         capped-dense width (see `kernel_lists` setter)."""
         self._kernel_lists = survivors
 
-    def update_kernel_list(self, *_):
+    def update_kernel_list(self, *_, replace: bool = False):
         """Probe block corners/edges, OR into the lists
         (reference smoe.py:2287-2365).  For motion-compensated video the
         probe boxes are recomputed from the CURRENT (quantized) motion
         params (reference smoe.py:2292-2317); dual-model kernels are probed
-        against their own domain via the model mask."""
+        against their own domain via the model mask.
+
+        replace=True: the lists become exactly the probe-near & active set
+        (the in_graph_ukl invariant) instead of ORing into the current
+        lists — an all-on init (video, reference smoe.py:315) can never
+        shrink through OR, which forces full-width dense eval the
+        dual-domain fused backward cannot fit in VMEM at k>=24."""
         cfg = self.cfg
         eff = effective_params(self.params, cfg, self.musX_grid)
         probes = probes_raw = None
@@ -1184,12 +1194,13 @@ class Smoe:
             tc = transform_coords(
                 self.bset.coords.reshape(-1, d), eff.motion,
                 cfg.num_params_model, cfg.num_frames).reshape(B, Nb, d)
-            from smoe_tpu.fit.blocks import probe_points
             probes = probe_points(tc.min(axis=1), tc.max(axis=1))
             if self.model_mask is not None:
                 probes_raw = self.bset.probes
+        base = jnp.zeros_like(self._kernel_lists) if replace \
+            else self.kernel_lists
         self.kernel_lists = update_kernel_lists(
-            eff.A, eff.musX, eff.pis, cfg, self.bset, self.kernel_lists,
+            eff.A, eff.musX, eff.pis, cfg, self.bset, base,
             probes=probes, probes_raw=probes_raw,
             model_mask=self.model_mask if probes_raw is not None else None)
 

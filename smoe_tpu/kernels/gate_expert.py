@@ -88,9 +88,13 @@ def _tile_n(k_pad: int, f_pad: int = 8, bwd: bool = False) -> int:
     scoped-VMEM limit again."""
     if bwd and f_pad > 8:
         tn = (13 * 1024 * 1024) // (27 * k_pad + 16 * f_pad)
-        if tn >= 128:
-            return min(_TILE_CAP, (tn // 128) * 128)
-        return max(32, (tn // 32) * 32)
+        # Mosaic requires the pixel (lane) axis of every block to be
+        # 128-divisible — a sub-128 tile fails lowering outright (hit at
+        # k_pad ~ 4736 when in-graph refresh widened the CIF cap, round
+        # 3).  128 is the floor; at k_pad beyond ~4.7k the scoped VMEM
+        # estimate rides the ~16 MB limit, so tighten
+        # cfg.probe_maha_threshold (or use the XLA path) there.
+        return max(128, min(_TILE_CAP, (tn // 128) * 128))
     tn = _TILE_BYTES // (4 * (k_pad + 4 * f_pad))
     tn = max(128, min(_TILE_CAP, tn))
     return _round_up(tn, 128)
