@@ -304,18 +304,22 @@ def main(args=None):
         from smoe_tpu.codec.quantize import quantize_params
         smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
     # process 0 owns all persisted artifacts (multihost.py docstring)
+    # GLOBAL best (same snapshot the model_best.smoe bitstream ships —
+    # the per-phase get_best_params only covers the final train() call)
     multihost.save_model_primary(
         save_model, os.path.join(args.results_path, "params_best.pkl"),
-        smoe.get_best_params(), smoe.cfg,
+        smoe.get_global_best_params(), smoe.cfg,
         qparams=smoe.qparams if quant else None,
         losses=smoe.get_losses(), mses=smoe.get_mses(),
-        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
+        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid,
+        model_mask=smoe.model_mask)
     multihost.save_model_primary(
         save_model, os.path.join(args.results_path, "params_last.pkl"),
         smoe.get_params(), smoe.cfg,
         qparams=smoe.qparams if quant else None,
         losses=smoe.get_losses(), mses=smoe.get_mses(),
-        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
+        num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid,
+        model_mask=smoe.model_mask)
     if quant and multihost.primary():
         # self-contained entropy-coded bitstreams — decodable by
         # cli/decode or codec/serve.decode_bitstream alone (incl. trained

@@ -69,7 +69,8 @@ def main(args=None):
                                           if orig.ndim == 4 else 0))
 
     smoe = Smoe(orig, init_params_dict=params, start_batches=a.batches,
-                musX_grid_init=cp.get("musX_grid"), **cfg_kw)
+                musX_grid_init=cp.get("musX_grid"),
+                model_mask_init=cp.get("model_mask"), **cfg_kw)
 
     os.makedirs(a.results_path, exist_ok=True)
     if a.quantize:

@@ -16,7 +16,8 @@ import numpy as np
 def save_model(path: str, params: Dict[str, np.ndarray], cfg,
                qparams: Optional[Dict] = None,
                losses=None, mses=None, num_pis=None,
-               reduce: bool = True, musX_grid=None) -> None:
+               reduce: bool = True, musX_grid=None,
+               model_mask=None) -> None:
     """Write the codec pickle (reference utils.py:18-59).
 
     musX_grid: full-capacity init-grid centers when cfg.use_diff_center —
@@ -45,6 +46,12 @@ def save_model(path: str, params: Dict[str, np.ndarray], cfg,
     if musX_grid is not None:
         g = np.asarray(musX_grid, np.float32)
         cp["musX_grid"] = g[used] if used is not None else g
+    if model_mask is not None:
+        # dual-model kernel->domain assignment, reduced like params —
+        # without it a reloaded video pickle cannot rebuild the raw-domain
+        # gating (the reference never round-trips this, smoe.py:280-329)
+        m = np.asarray(model_mask, bool)
+        cp["model_mask"] = m[used] if used is not None else m
     if cfg.dim_domain == 3 and (cfg.train_trafo or cfg.num_frames > 0):
         cp.update({"train_trafo": cfg.train_trafo,
                    "num_params_model": cfg.num_params_model,

@@ -29,7 +29,8 @@ class ModelLogger:
         save_model(os.path.join(self.path, "params", f"{it}.pkl"),
                    smoe.get_params(), smoe.cfg, qparams=smoe.qparams,
                    losses=smoe.get_losses(), mses=smoe.get_mses(),
-                   num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid)
+                   num_pis=smoe.get_num_pis(), musX_grid=smoe.musX_grid,
+                   model_mask=smoe.model_mask)
 
         rec = smoe.get_reconstruction()
         self._write(rec, os.path.join(self.path, "reconstructions",

@@ -142,7 +142,11 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
     if eff.motion is not None and cfg.dim_domain == 3:
         coords_t = transform_coords(coords, eff.motion, cfg.num_params_model,
                                     cfg.num_frames)
-        if cfg.dual_model and model_mask is not None:
+        # the mask's presence IS the dual-model signal: a reloaded pickle
+        # carries the mask but not necessarily cfg.dual_model (round 3 —
+        # reconstruct silently gated every kernel on the transformed
+        # domain, 62% of pixels wrong)
+        if model_mask is not None:
             coords_raw = coords
         coords_in = coords_t
     else:
@@ -767,6 +771,7 @@ class Smoe:
                  iter_offset: int = 0,
                  mesh=None,
                  musX_grid_init: Optional[np.ndarray] = None,
+                 model_mask_init: Optional[np.ndarray] = None,
                  **cfg_overrides):
         """mesh: optional jax.sharding.Mesh with a 'b' axis and optionally a
         'k' axis.  When given, the FULL training semantics (QAT, SSIM, SV,
@@ -801,7 +806,9 @@ class Smoe:
         # place model-0 kernels by init_flag, concat disabled raw-domain
         # model-1 kernels (reference smoe.py:280-329, 1895-2138)
         motion_init = None
-        model_mask_init = None
+        if model_mask_init is not None:   # reload path (container pickle)
+            model_mask_init = np.asarray(model_mask_init, bool)
+            cfg = cfg.replace(dual_model=True)
         self.num_2d_kernels = None
         if cfg.dim_domain == 3 and affines is not None \
                 and init_params_dict is None:
@@ -835,6 +842,17 @@ class Smoe:
             joint_shape = image.shape[:dim] + (dim + image.shape[-1],)
             bs = get_batch_shape(start_batches, joint_shape)[:dim]
         cfg = cfg.replace(block_shape=tuple(int(b) for b in bs))
+
+        if init_params_dict is not None:
+            # a reloaded video pickle can carry MORE live kernels than the
+            # grid capacity (time-slab reseeds activate spare slots);
+            # init_params grows the arrays, so the config's capacity must
+            # follow or every capacity-shaped consumer (row masks,
+            # _eff_from_rparams, kernel lists) misindexes
+            rows = int(np.asarray(init_params_dict["pis"]).shape[0])
+            if rows > cfg.capacity:
+                cfg = cfg.replace(start_pis_override=rows,
+                                  add_kernel_slots=0)
 
         self.cfg = cfg
         self.image = image

@@ -318,3 +318,54 @@ def test_lean_bits_preset(fitted, tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(q[name]), np.asarray(smoe.qparams[name]),
                 err_msg=f"bitstream roundtrip mismatch for {name}")
+
+
+def test_video_pickle_roundtrip_with_reseeds(tmp_path):
+    """A reseeded video pickle carries MORE live kernels than the grid
+    capacity and a dual-model mask; reconstruct must rebuild both (round
+    3: capacity stayed at the grid size -> IndexError, and the mask was
+    never persisted, silently decoding every kernel on the transformed
+    domain)."""
+    import jax.numpy as jnp
+    from smoe_tpu import Smoe
+    from smoe_tpu.codec.container import load_model, save_model
+
+    h = w = 16
+    t = 4
+    y, x = np.mgrid[0:h, 0:w] / (h - 1)
+    frames, affines = [], []
+    for i in range(t):
+        dx = 0.08 * i
+        frames.append(0.5 + 0.3 * np.sin(6 * (x + dx)) * np.cos(4 * y))
+        affines.append(np.array([[1, 0, -dx * (w - 1)], [0, 1, 0]],
+                                np.float32))
+    vid = np.clip(np.stack(frames, 2), 0, 1).astype(np.float32)[..., None]
+
+    s = Smoe(vid, kernels_per_dim=[3, 3, 2], use_yuv=False,
+             affines=np.stack(affines), normalize_pis=False)
+    s.set_optimizer()
+    s.run_batched_chunk(6)
+    s.reseed_time_slab(0, rng=0)     # activates spare raw-domain kernels
+    s.run_batched_chunk(6)
+    live = int(np.sum(np.asarray(s.get_params()["pis"]) > 0))
+
+    path = str(tmp_path / "vid.pkl")
+    save_model(path, s.get_params(), s.cfg, model_mask=s.model_mask)
+    cp = load_model(path)
+    assert "model_mask" in cp and cp["params"]["pis"].shape[0] == live
+
+    s2 = Smoe(vid, init_params_dict=cp["params"], use_yuv=False,
+              kernels_per_dim=[3, 3, 2],
+              num_params_model=int(cp["num_params_model"]),
+              num_frames=int(cp["num_frames"]),
+              model_mask_init=cp["model_mask"])
+    assert s2.cfg.capacity >= live          # the round-3 IndexError case
+    assert s2.model_mask is not None
+
+    s.kernel_lists = jnp.ones_like(s.kernel_lists)
+    _, mse_ref, *_ = s.run_batched(train=False, update_reconstruction=True)
+    s2.kernel_lists = jnp.ones_like(s2.kernel_lists)
+    _, mse2, *_ = s2.run_batched(train=False, update_reconstruction=True)
+    np.testing.assert_allclose(np.asarray(s2.get_reconstruction()),
+                               np.asarray(s.get_reconstruction()),
+                               atol=1.01 / 255)
