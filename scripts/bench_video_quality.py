@@ -58,6 +58,8 @@ def main():
                          "while holding the capped width down — needed "
                          "with --iukl at k>=24 where thr=800 lists "
                          "nearly all of K)")
+    ap.add_argument("--pg", type=int, default=None,
+                    help="probe grid points per dim (-pg)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--static", action="store_true",
                     help="pure-pan clip (no independently moving object): "
@@ -91,7 +93,8 @@ def main():
     ] + (["-ukl", str(args.ukl)] if args.ukl else [])
       + (["-iukl", "1"] if args.iukl else [])
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
-      + (["-b", str(args.blocks)] if args.blocks else []))
+      + (["-b", str(args.blocks)] if args.blocks else [])
+      + (["-pg", str(args.pg)] if args.pg else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's
@@ -140,6 +143,7 @@ def main():
                   + (", iukl" if args.iukl else "")
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")
                   + (f", b={args.blocks}" if args.blocks else "")
+                  + (f", pg={args.pg}" if args.pg else "")
                   + (", static-pan" if args.static else ", moving-obj"),
     }))
 

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=800.0, help="kernel-list probe threshold "
                    "(reference hardcodes 800; 50-150 measured faster at "
                    "unchanged PSNR on 1080p)")
+    p.add_argument("-pg", "--probe_grid", type=int, default=3,
+                   help="probe points per dim for kernel-list boxes "
+                   "(3 = reference; 5 halves the sharp-kernel boundary "
+                   "leak)")
     p.add_argument("-iukl", "--in_graph_ukl", type=str2bool, default=False,
                    help="refresh kernel lists in-graph every sweep "
                    "(survivors | probe-near) instead of only every -ukl "
@@ -191,6 +195,7 @@ def main(args=None):
         train_inverse_cov=args.train_inverse_cov,
         probe_maha_threshold=args.probe_maha_threshold,
         in_graph_ukl=args.in_graph_ukl,
+        probe_grid=args.probe_grid,
         canonicalize_steering=not args.no_canonicalize,
     )
     smoe.set_optimizer()

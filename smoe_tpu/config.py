@@ -100,6 +100,10 @@ class SmoeConfig:
     # recipe (round 3): at ukl=500 the DECODED PSNR lags the in-list
     # eval by >10 dB; per-sweep refresh bounds the drift at one sweep.
     in_graph_ukl: bool = False
+    # probe points per dim for the kernel-list boxes (3 = the reference's
+    # {min, mid, max}; 5 halves the spacing and shrinks the sharp-kernel
+    # boundary leak — see probe_points)
+    probe_grid: int = 3
 
     @property
     def num_kernels_grid(self) -> int:

@@ -612,7 +612,8 @@ class _Compiled:
                 tc = transform_coords(
                     coords_all.reshape(-1, d), eff.motion,
                     cfg.num_params_model, cfg.num_frames).reshape(B, Nb, d)
-                probes = probe_points(tc.min(axis=1), tc.max(axis=1))
+                probes = probe_points(tc.min(axis=1), tc.max(axis=1),
+                                      grid=getattr(cfg, "probe_grid", 3))
                 if model_mask is not None:
                     probes_raw = bset.probes
             return update_kernel_lists(
@@ -1149,12 +1150,21 @@ class Smoe:
         else:
             eff = effective_params(self.params, self.cfg, self.musX_grid)
         fn = self._compiled.eval_sweep_fn(with_rec=bool(update_reconstruction))
+        kl = self.kernel_lists
+        if getattr(self.cfg, "in_graph_ukl", False):
+            # DENSE validation: the probe grid samples the block boundary,
+            # so a sharp kernel just outside can leak past any threshold
+            # (measured ~1.2 dB in-list-vs-dense on the CIF k=24 fit);
+            # evaluating all active kernels makes every validation — and
+            # therefore the best-snapshot selection — measure exactly what
+            # the (dense) serving decoder will reproduce
+            kl = jnp.broadcast_to((eff.pis > 0)[None, :], kl.shape)
         if update_reconstruction:
             loss, mse, res, w_am, surv, probs, num_pi, sv_map = fn(
-                eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
+                eff, svp, kl, lw, reg, self.model_mask, tsv)
         else:
             loss, mse, surv, num_pi = fn(
-                eff, svp, self.kernel_lists, lw, reg, self.model_mask, tsv)
+                eff, svp, kl, lw, reg, self.model_mask, tsv)
 
         # batch ALL device->host transfers into one jax.device_get — each
         # separate pull is a ~50 ms round trip through the remote-TPU tunnel
@@ -1189,8 +1199,16 @@ class Smoe:
     def _update_kernel_lists_from(self, survivors):
         """Per-block kernel lists <- influence-culling survivors
         (reference smoe.py:1763-1766).  Shrink-only: keeps the cached
-        capped-dense width (see `kernel_lists` setter)."""
-        self._kernel_lists = survivors
+        capped-dense width (see `kernel_lists` setter).
+
+        Under in_graph_ukl the eval ran DENSE, so its survivors are not
+        bounded by the previous lists — go through the setter, which
+        invalidates the cap; the next chunk entry rebuilds the refresh
+        invariant (update_kernel_list(replace=True)) and re-derives it."""
+        if getattr(self.cfg, "in_graph_ukl", False):
+            self.kernel_lists = survivors
+        else:
+            self._kernel_lists = survivors
 
     def update_kernel_list(self, *_, replace: bool = False):
         """Probe block corners/edges, OR into the lists
@@ -1212,7 +1230,8 @@ class Smoe:
             tc = transform_coords(
                 self.bset.coords.reshape(-1, d), eff.motion,
                 cfg.num_params_model, cfg.num_frames).reshape(B, Nb, d)
-            probes = probe_points(tc.min(axis=1), tc.max(axis=1))
+            probes = probe_points(tc.min(axis=1), tc.max(axis=1),
+                                  grid=getattr(cfg, "probe_grid", 3))
             if self.model_mask is not None:
                 probes_raw = self.bset.probes
         base = jnp.zeros_like(self._kernel_lists) if replace \
