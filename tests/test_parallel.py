@@ -526,3 +526,46 @@ class TestDataParallel:
                               pis_l1=np.asarray([0.0, 3e-3], np.float32))
         pis = np.asarray(batched.pis)
         assert np.sum(np.maximum(pis[1], 0)) < np.sum(np.maximum(pis[0], 0))
+
+
+class TestMeshInGraphUkl:
+    """cfg.in_graph_ukl under sharding: the per-sweep refresh (probe maha
+    + box test on sharded params/lists) runs through GSPMD inside the
+    jitted chunk on both a ('b',) and a ('b','k') mesh."""
+
+    def _img(self):
+        y, x = np.mgrid[0:32, 0:32] / 31.0
+        return np.stack([.5 + .3 * np.sin(5 * x),
+                         .5 + .3 * np.cos(4 * y + 2 * x),
+                         .4 + .2 * np.sin(3 * (x + y))], -1).astype(np.float32)
+
+    @pytest.mark.parametrize("mesh_shape", [None, (8,), (4, 2)])
+    def test_train_parity_across_meshes(self, mesh_shape):
+        from jax.sharding import Mesh
+        from smoe_tpu.fit.trainer import Smoe
+        mesh = None
+        if mesh_shape is not None:
+            axes = ("b",) if len(mesh_shape) == 1 else ("b", "k")
+            mesh = Mesh(np.asarray(
+                cpus[:int(np.prod(mesh_shape))]).reshape(mesh_shape), axes)
+        s = Smoe(self._img(), kernels_per_dim=[4], batch_size=(8, 8),
+                 quantization_mode=3, mesh=mesh, in_graph_ukl=True,
+                 probe_maha_threshold=100.0, probe_grid=5)
+        s.set_optimizer()
+        s.train(40, val_iter=20, pis_l1=1e-4)
+        if not hasattr(self, "_ref"):
+            type(self)._ref = (s.losses[0][1], s.losses[-1][1])
+        np.testing.assert_allclose(s.losses[0][1], self._ref[0], rtol=1e-6)
+        np.testing.assert_allclose(s.losses[-1][1], self._ref[1], rtol=0.05)
+        # refresh invariant AFTER A CHUNK (train() ends on a dense eval
+        # whose survivor feedback narrows the stored lists; the next chunk
+        # entry rebuilds them): every active probe-near kernel is listed
+        s.run_batched_chunk(2)
+        from smoe_tpu.fit.blocks import update_kernel_lists
+        from smoe_tpu.fit.trainer import effective_params
+        import jax.numpy as jnp
+        eff = effective_params(s.params, s.cfg, s.musX_grid)
+        near = np.asarray(update_kernel_lists(
+            eff.A, eff.musX, eff.pis, s.cfg, s.bset,
+            jnp.zeros_like(s.kernel_lists)))
+        assert np.all(np.asarray(s.kernel_lists)[near])
