@@ -69,6 +69,10 @@ def main():
                          "bench_video_quality --ukl)")
     ap.add_argument("--iukl", action="store_true",
                     help="in-graph per-sweep kernel-list refresh")
+    ap.add_argument("--pmt", type=float, default=None,
+                    help="probe maha threshold")
+    ap.add_argument("--pg", type=int, default=None,
+                    help="probe grid points per dim")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation")
@@ -93,6 +97,10 @@ def main():
         argv += ["-ukl", str(args.ukl)]
     if args.iukl:
         argv += ["-iukl", "1"]
+    if args.pmt is not None:
+        argv += ["-pmt", str(args.pmt)]
+    if args.pg:
+        argv += ["-pg", str(args.pg)]
     if args.lean:
         argv += ["-lean", "1"]
     smoe = fit_main(argv)
@@ -139,6 +147,8 @@ def main():
                   f"qm=1, lr={args.lr}"
                   + (f", ukl={args.ukl}" if args.ukl else "")
                   + (", iukl" if args.iukl else "")
+                  + (f", pmt={args.pmt}" if args.pmt is not None else "")
+                  + (f", pg={args.pg}" if args.pg else "")
                   + (", lean" if args.lean else ""),
     }))
 
