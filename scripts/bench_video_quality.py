@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--pg", type=int, default=None,
                     help="probe grid points per dim (-pg)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lean", action="store_true",
+                    help="code with the lean bit allocation "
+                         "A10/mu12/nu8/pi10/g8 (-lean 1; RD study "
+                         "scripts/exp_a_domain.py)")
     ap.add_argument("--static", action="store_true",
                     help="pure-pan clip (no independently moving object): "
                          "global motion explains everything, so this "
@@ -90,7 +94,8 @@ def main():
         "-v", str(args.val), "-lr", str(args.lr),
         "-np", "0",
         "-qm", "1",
-    ] + (["-ukl", str(args.ukl)] if args.ukl else [])
+    ] + (["-lean", "1"] if args.lean else [])
+      + (["-ukl", str(args.ukl)] if args.ukl else [])
       + (["-iukl", "1"] if args.iukl else [])
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
       + (["-b", str(args.blocks)] if args.blocks else [])
@@ -139,6 +144,7 @@ def main():
         "frames": int(orig.shape[2]),
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
+                  + (", lean" if args.lean else "")
                   + (f", ukl={args.ukl}" if args.ukl else "")
                   + (", iukl" if args.iukl else "")
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")

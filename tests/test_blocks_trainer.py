@@ -430,3 +430,33 @@ class TestInGraphUkl:
         s.set_optimizer()
         loss, *_ = s.run_batched_chunk(3)
         assert np.isfinite(loss).all()
+
+    def test_inc_cycle_composes(self, toy_image):
+        """Incremental insertion under in_graph_ukl.
+
+        reinit_inc refills only up to the start budget (num_peaks =
+        start_pis - used, reference smoe.py:1377), so a fit where nothing
+        was culled requests ZERO peaks.  Simulate sparsification by
+        zeroing some pis, let a validation record the reduced count, then
+        drive the full reference inc cycle (reinit -> apply -> train,
+        smoe_test.py:221-245): the error-map peaks go live immediately and
+        the per-sweep list refresh must pick the spliced rows up."""
+        s = Smoe(toy_image, kernels_per_dim=(4,), add_kernel_slots=16,
+                 in_graph_ukl=True)
+        s.set_optimizer()
+        s.train(20, val_iter=10)
+        pis = np.asarray(s.params.pis).copy()
+        pis[5:11] = 0.0
+        s.params = s.params.replace(pis=jnp.asarray(pis))
+        s.valid = False
+        s.train(4, val_iter=2)      # degraded eval -> num_pis history
+        n0 = int(np.asarray(s.params.pis > 0).sum())
+        assert n0 < 16
+        mse0 = s.get_mses()[-1][1]
+        s.reinit_inc()
+        assert int(np.asarray(s.params.pis > 0).sum()) > n0
+        s.apply_inc()
+        s.train(20, val_iter=10)
+        assert int(np.asarray(s.params.pis > 0).sum()) > n0
+        assert np.isfinite(s.best_loss)
+        assert s.get_mses()[-1][1] < mse0
