@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation")
+    ap.add_argument("--ulean", action="store_true",
+                    help="code with the ultra-lean allocation "
+                         "A8/mu10/nu8/pi10/g6 (per-group knee)")
     args = ap.parse_args()
 
     lf = build_lf(s=args.s)
@@ -103,6 +106,8 @@ def main():
         argv += ["-pg", str(args.pg)]
     if args.lean:
         argv += ["-lean", "1"]
+    if args.ulean:
+        argv += ["-ulean", "1"]
     smoe = fit_main(argv)
     fit_s = time.time() - t0
 
@@ -149,7 +154,8 @@ def main():
                   + (", iukl" if args.iukl else "")
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")
                   + (f", pg={args.pg}" if args.pg else "")
-                  + (", lean" if args.lean else ""),
+                  + (", lean" if args.lean else "")
+                  + (", ulean" if args.ulean else ""),
     }))
 
 

@@ -65,6 +65,10 @@ def main():
                     help="code with the lean bit allocation "
                          "A10/mu12/nu8/pi10/g8 (-lean 1; RD study "
                          "scripts/exp_a_domain.py)")
+    ap.add_argument("--ulean", action="store_true",
+                    help="code with the ultra-lean allocation "
+                         "A8/mu10/nu8/pi10/g6 (per-group knee; halves "
+                         "video rate vs reference depths at matched PSNR)")
     ap.add_argument("--static", action="store_true",
                     help="pure-pan clip (no independently moving object): "
                          "global motion explains everything, so this "
@@ -95,6 +99,7 @@ def main():
         "-np", "0",
         "-qm", "1",
     ] + (["-lean", "1"] if args.lean else [])
+      + (["-ulean", "1"] if args.ulean else [])
       + (["-ukl", str(args.ukl)] if args.ukl else [])
       + (["-iukl", "1"] if args.iukl else [])
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
@@ -145,6 +150,7 @@ def main():
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
                   + (", lean" if args.lean else "")
+                  + (", ulean" if args.ulean else "")
                   + (f", ukl={args.ukl}" if args.ukl else "")
                   + (", iukl" if args.iukl else "")
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")

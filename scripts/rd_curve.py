@@ -4,7 +4,7 @@ Sweeps the pi-L1 sparsifier to trade kernels for quality, measuring the
 REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
-Usage: python scripts/rd_curve.py [image.png] [iters] [--dp] [--lean]
+Usage: python scripts/rd_curve.py [image.png] [iters] [--dp] [--lean|--ulean]
 
 --dp: fit all RD points concurrently via the data-parallel fan-out
 (parallel/sharded.py fit_many, SURVEY §2.2 DP row) — one model per device
@@ -31,10 +31,12 @@ def main():
     from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
     from smoe_tpu.io.images import read_image
 
-    argv = [a for a in sys.argv[1:] if a not in ("--dp", "--lean")]
+    argv = [a for a in sys.argv[1:] if a not in ("--dp", "--lean", "--ulean")]
     use_dp = "--dp" in sys.argv[1:]
     lean = "--lean" in sys.argv[1:]
-    bit_depths = (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10)
+    ulean = "--ulean" in sys.argv[1:]
+    bit_depths = ((8, 10, 8, 10, 6) if ulean else
+                  (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
     if argv and not argv[0].isdigit():
         img, precision, _ = read_image(argv[0])
         iters = int(argv[1]) if len(argv) > 1 else 1000

@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "depths on the 256^2 RD study (round 3; the A "
                         "fields carry far less perceptual information "
                         "than their 20-bit default)")
+    p.add_argument("-ulean", "--ultra_lean_bits", type=str2bool,
+                   default=False,
+                   help="override -bd with the ultra-lean allocation "
+                        "A8/mu10/nu8/pi10/g6 — the measured transparency "
+                        "knee of EVERY param group (round-3 sweep on "
+                        "converged 2D/3D/4D fits: -41%%/-51%%/-57%% coded "
+                        "bits vs reference depths at <=0.03 dB; one step "
+                        "lower in any group costs 0.2-2.6 dB).  Takes "
+                        "precedence over -lean")
     p.add_argument("-qp", "--quantize_pis", type=str2bool, default=True)
     p.add_argument("-lb", "--lower_bounds", type=float, nargs="+",
                    default=[-2500, -0.3, -5, 0, -32])
@@ -139,6 +148,8 @@ def main(args=None):
         raise ValueError("Number of bit depths must be five!")
     if args.lean_bits:
         args.bit_depths = [10, 12, 8, 10, 8]     # A, musX, nu_e, pis, gamma_e
+    if args.ultra_lean_bits:
+        args.bit_depths = [8, 10, 8, 10, 6]      # per-group knee (round 3)
     if args.num_params_model not in (2, 4, 6, 8):
         raise ValueError(f"num_params_model == {args.num_params_model} "
                          "is not a valid motion parameter model")

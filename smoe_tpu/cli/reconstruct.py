@@ -29,9 +29,16 @@ def main(args=None):
                    ("1", "true", "yes"), default=False,
                    help="quantize/code with the lean allocation "
                         "A10/mu12/nu8/pi10/g8 (see cli/fit.py -lean)")
+    p.add_argument("-ulean", "--ultra_lean_bits", type=lambda v: v.lower()
+                   in ("1", "true", "yes"), default=False,
+                   help="quantize/code with the ultra-lean allocation "
+                        "A8/mu10/nu8/pi10/g6 (the measured per-group "
+                        "transparency knee; see cli/fit.py -ulean)")
     a = p.parse_args(args)
     if a.lean_bits:
         a.bit_depths = [10, 12, 8, 10, 8]
+    if a.ultra_lean_bits:
+        a.bit_depths = [8, 10, 8, 10, 6]
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.container import load_model

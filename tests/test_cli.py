@@ -410,3 +410,26 @@ def test_video_reconstruct_lean_recode(tmp_path):
     # lean is transparent on converged fits; on this tiny fit allow the
     # quantization-noise floor to move a little either way
     assert mses["lean"] < max(1.5 * mses["ref"], mses["ref"] + 30.0)
+
+
+def test_ulean_bits_preset(fitted, tmp_path):
+    """-ulean overrides the depths with the ultra-lean allocation
+    A8/mu10/nu8/pi10/g6 — the per-group transparency knee measured on
+    converged 2D/3D/4D fits (round 3: −41/−51/−57% coded bits vs the
+    reference depths at ≤0.03 dB; one step lower in any group costs
+    0.2–2.6 dB)."""
+    img_path, _ = fitted
+    res = str(tmp_path / "ulean")
+    from smoe_tpu.cli.fit import main as fit_main
+    smoe = fit_main(["-i", img_path, "-r", res, "-n", "20", "-k", "4",
+                     "-v", "10", "-qm", "1", "-ulean", "1"])
+    assert tuple(smoe.cfg.bit_depths) == (8, 10, 8, 10, 6)
+    smoe_file = os.path.join(res, "model_last.smoe")
+    from smoe_tpu.codec.bitstream import read_bitstream
+    q, header = read_bitstream(smoe_file)
+    assert list(header["bit_depths"]) == [8, 10, 8, 10, 6]
+    for name in ("A_diagonal", "musX", "nu_e", "pis", "gamma_e"):
+        if name in q and name in smoe.qparams:
+            np.testing.assert_array_equal(
+                np.asarray(q[name]), np.asarray(smoe.qparams[name]),
+                err_msg=f"bitstream roundtrip mismatch for {name}")
