@@ -241,7 +241,15 @@ def main():
                        ("g12", bd[:4] + [12]),
                        ("pi8", bd[:3] + [8, bd[4]]),
                        ("lean A12 mu14 nu8 g8", [12, 14, 8, 10, 8]),
-                       ("lean A10 mu12 nu8 g8", [10, 12, 8, 10, 8])):
+                       ("lean A10 mu12 nu8 g8", [10, 12, 8, 10, 8]),
+                       # round-3 knee sweep: -ulean is the last transparent
+                       # step of EVERY group; the three below-knee probes
+                       # each break (measured also on CIF video k=28 and
+                       # 4D LF k=8 via cli/reconstruct -bd, BASELINE.md)
+                       ("ulean A8 mu10 nu8 g6", [8, 10, 8, 10, 6]),
+                       ("below-knee A6", [6, 10, 8, 10, 6]),
+                       ("below-knee mu8", [8, 8, 8, 10, 6]),
+                       ("below-knee g4", [8, 10, 8, 10, 4])):
         out.append(quantized_eval(canon, bdv, label))
 
     for r in out:
