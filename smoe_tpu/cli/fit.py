@@ -178,6 +178,16 @@ def main(args=None):
         kpd = kpd * (orig.ndim - 1)
 
     dim = orig.ndim - 1
+    if dim >= 3 and not args.in_graph_ukl:
+        # measured list-drift pathology (ROADMAP.md): at >=3 dims the
+        # reference A-lr recipe sharpens kernels faster than host-cadence
+        # list refreshes heal — CIF video decodes >10 dB under its in-list
+        # eval, 4D LF fits diverge outright.  -iukl 1 bounds drift at one
+        # sweep (impossible in the reference's feed_dict architecture).
+        print("WARNING: video/light-field fit without -iukl 1 — "
+              "host-cadence kernel lists measurably degrade DECODED "
+              "quality (list-drift pathology, see ROADMAP.md); "
+              "-iukl 1 is strongly recommended", flush=True)
     smoe = Smoe(
         orig, kernels_per_dim=kpd, init_params_dict=init_params_dict,
         affines=affines, init_flag=args.init_flag,
