@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ri", "--reseed_iterations", type=int, default=1000,
                    help="retrain iterations per video time-slab reseed "
                         "(reference hardcodes 1000, 5x on the last slab)")
+    p.add_argument("-lsinit", "--ls_init", type=str, default="",
+                   choices=["", "auto", "kernel", "coupled"],
+                   help="closed-form least-squares expert init under the "
+                        "initial gating before training (fit/lsinit.py; "
+                        "beyond the reference)")
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
@@ -249,6 +254,11 @@ def main(args=None):
             (args.current_inc_step - 1) * smoe.num_inc_kernels
         import jax.numpy as jnp
         smoe.kernel_lists = jnp.ones_like(smoe.kernel_lists)
+
+    if args.ls_init:
+        mass = smoe.ls_init_experts(mode=args.ls_init)
+        print(f"LS expert init ({args.ls_init}): gated mass {mass:.1f}",
+              flush=True)
 
     # Result-writing callbacks write on process 0 only under multi-host:
     # every process computes identical replicated state, so N hosts

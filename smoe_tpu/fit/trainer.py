@@ -1480,6 +1480,14 @@ class Smoe:
             self.run_batched(train=False, update_reconstruction=True)
         return self.weight_matrix_argmax
 
+    def ls_init_experts(self, mode: str = "auto", ridge: float = 1e-6):
+        """Closed-form least-squares (re)fit of the expert surfaces under
+        the current gating (fit/lsinit.py) — beyond the reference: starts
+        Adam from the best experts the initial gating can express instead
+        of the image-sample init (reference smoe.py:2437-2456)."""
+        from smoe_tpu.fit.lsinit import ls_refresh_experts
+        return ls_refresh_experts(self, mode=mode, ridge=ridge)
+
     def get_weight_matrix(self):
         """Full (K, *spatial) gating map — computed on demand (the reference
         stitches it every eval, smoe.py:1747-1756; it is large)."""

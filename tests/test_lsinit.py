@@ -1,0 +1,149 @@
+"""Least-squares expert init (fit/lsinit.py) — beyond-reference feature.
+
+Checks: both solver modes improve on the sample init, the coupled solve is
+the exact joint minimizer (vs numpy lstsq on the explicit design), config
+variants (nu-only, only_y_gamma, video motion, QAT) stay correct, and
+training composes after the init.
+"""
+
+import numpy as np
+import pytest
+
+from smoe_tpu import Smoe
+from smoe_tpu.core.losses import psnr_from_mse
+
+
+def _img(n=32, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:n, 0:n] / (n - 1)
+    img = np.stack([.5 + .3 * np.sin(5 * x),
+                    .5 + .3 * np.cos(4 * y),
+                    .4 + .2 * np.sin(3 * (x + y))], -1)[..., :c]
+    img += rng.normal(0, 0.003, img.shape)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def _mse(s):
+    return float(s.run_batched(train=False)[1])
+
+
+class TestLsInit:
+    @pytest.mark.parametrize("mode", ["kernel", "coupled"])
+    def test_improves_sample_init(self, mode):
+        s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16))
+        m0 = _mse(s)
+        s.ls_init_experts(mode=mode)
+        m1 = _mse(s)
+        assert m1 < 0.25 * m0, (m0, m1)
+
+    def test_coupled_is_joint_minimizer(self):
+        """Coupled mode == numpy lstsq on the explicit (N, K(1+d)C) design
+        built from the SAME gating weights (single block, no padding)."""
+        img = _img(16)
+        s = Smoe(img, kernels_per_dim=[3], batch_size=(16, 16))
+        # explicit design from the full-image weight matrix
+        w = s.get_weight_matrix()                        # (K, H, W)
+        k = w.shape[0]
+        wf = np.asarray(w).reshape(k, -1).T              # (N, K)
+        yx = np.stack(np.mgrid[0:16, 0:16] / 15.0, -1).reshape(-1, 2)
+        phi = np.concatenate([np.ones((256, 1)), yx], 1)  # (N, 3)
+        z = (wf[:, :, None] * phi[:, None, :]).reshape(256, k * 3)
+        tgt = np.asarray(s.bset.targets).reshape(256, 3)  # YUV targets
+        ref, *_ = np.linalg.lstsq(z, tgt, rcond=None)
+        ref = ref.reshape(k, 3, 3)
+
+        s.ls_init_experts(mode="coupled", ridge=1e-12)
+        nu = np.asarray(s.params.nu_e)[:k]
+        gam = np.asarray(s.params.gamma_e)[:k]
+        # compare through the PREDICTION (the design may be rank-deficient,
+        # so params themselves are not unique)
+        pred_ref = z @ ref.reshape(k * 3, 3)
+        got = np.concatenate([nu[:, None, :], gam], axis=1)
+        pred_got = z @ got.reshape(k * 3, 3)
+        assert np.max(np.abs(pred_ref - pred_got)) < 5e-3
+
+    def test_nu_only_when_gammas_off(self):
+        s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16),
+                 train_gammas=False)
+        g0 = np.asarray(s.params.gamma_e).copy()
+        m0 = _mse(s)
+        s.ls_init_experts(mode="kernel")
+        assert np.array_equal(np.asarray(s.params.gamma_e), g0)
+        assert _mse(s) < m0
+
+    @pytest.mark.parametrize("mode", ["kernel", "coupled"])
+    def test_only_y_gamma(self, mode):
+        s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16),
+                 only_y_gamma=True)
+        m0 = _mse(s)
+        s.ls_init_experts(mode=mode)
+        gam = np.asarray(s.params.gamma_e)
+        assert np.all(gam[:, :, 1:] == 0.0)          # slopes live on Y only
+        assert _mse(s) < 0.6 * m0
+
+    def test_video_motion_dual_model(self):
+        """d=3 dual-model with non-identity global motion: the design must
+        use the TRANSFORMED coords (what expert_regression consumes) and
+        the dual-domain gating."""
+        rng = np.random.default_rng(0)
+        h = w = 8
+        t = 3
+        base = rng.uniform(0.2, 0.8, (h, w, 3)).astype(np.float32)
+        vid = np.stack([np.roll(base, i, axis=1) for i in range(t)], axis=2)
+        aff = np.zeros((t, 2, 3), np.float32)
+        aff[:, 0, 0] = aff[:, 1, 1] = 1.0
+        aff[:, 0, 2] = -1.0 * np.arange(t)         # x translation, pixels
+        s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1)
+        assert s.model_mask is not None and s.params.motion is not None
+        m0 = _mse(s)
+        s.ls_init_experts(mode="kernel")
+        m1 = _mse(s)
+        assert m1 < m0, (m0, m1)
+
+    def test_composes_with_training_and_qat(self):
+        s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16),
+                 quantization_mode=3, bit_depths=(20, 18, 6, 10, 10))
+        s.ls_init_experts()
+        s.set_optimizer()
+        losses, mses, *_ = s.run_batched_chunk(10)
+        assert np.isfinite(losses).all()
+        assert float(mses[-1]) < 50.0   # stays near the LS-init quality
+
+    def test_cli_flag(self, tmp_path):
+        """-lsinit through cli/fit.py: the LS-initialized short fit must
+        beat the identically-seeded plain fit."""
+        cv2 = pytest.importorskip("cv2")
+        from smoe_tpu.cli.fit import main as fit_main
+        img_path = str(tmp_path / "img.png")
+        cv2.imwrite(img_path, np.uint8(_img() * 255))
+        runs = {}
+        for tag, extra in (("plain", []), ("ls", ["-lsinit", "auto"])):
+            res = str(tmp_path / tag)
+            s = fit_main(["-i", img_path, "-r", res, "-n", "20", "-k", "4",
+                          "-v", "10"] + extra)
+            runs[tag] = s.get_best_mse()
+        assert runs["ls"] < runs["plain"], runs
+
+    def test_lf_train_mask_rows_excluded(self):
+        """4D LF: untrained corner views must not enter the solve."""
+        rng = np.random.default_rng(2)
+        u = np.linspace(0, 1, 15)[:, None, None, None]
+        v = np.linspace(0, 1, 15)[None, :, None, None]
+        yy = np.linspace(0, 1, 6)[None, None, :, None]
+        xx = np.linspace(0, 1, 6)[None, None, None, :]
+        lf = 0.5 + 0.2 * np.sin(3 * (yy + 0.2 * u)) * np.cos(4 * (xx + v))
+        lf = np.broadcast_to(lf, (15, 15, 6, 6)).astype(np.float32)
+        lf = np.clip(lf + rng.normal(0, 0.01, lf.shape), 0, 1)\
+            .astype(np.float32)[..., None]
+        s = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False)
+        if s.bset.train_mask is None:
+            pytest.skip("no train mask in this config")
+        # poison the masked-out rows: solve must be unaffected
+        tm = np.asarray(s.bset.train_mask)
+        t2 = np.asarray(s.bset.targets).copy()
+        s.ls_init_experts(mode="kernel")
+        nu_clean = np.asarray(s.params.nu_e).copy()
+        t2[~tm] = 7.0
+        s.bset = s.bset._replace(targets=np.asarray(t2, np.float32))
+        s.ls_init_experts(mode="kernel")
+        assert np.allclose(np.asarray(s.params.nu_e), nu_clean, atol=1e-5)
