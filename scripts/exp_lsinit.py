@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 from bench import build_image, make_smoe, warm_chunk  # noqa: E402
 
 
-def fit(s, target, max_iters, chunk=20):
+def fit(s, target, max_iters, chunk=20, ls_every=0):
     from smoe_tpu.core.losses import psnr_from_mse
     t0 = time.time()
     iters, psnr, t_hit, i_hit = 0, 0.0, None, None
@@ -30,6 +30,8 @@ def fit(s, target, max_iters, chunk=20):
         iters += chunk
         if iters % 100 == 0:
             s.update_kernel_list()
+        if ls_every and iters % ls_every == 0:
+            s.ls_init_experts(mode="kernel")
         psnr = max(psnr, psnr_from_mse(np.nanmin(mse_a), s.cfg.precision))
         traj.append((iters, round(float(psnr), 2)))
         if t_hit is None and psnr >= target:
@@ -46,6 +48,9 @@ def main():
     ap.add_argument("--target", type=float, default=32.0)
     ap.add_argument("--max", type=int, default=2000)
     ap.add_argument("--mode", type=str, default="auto")
+    ap.add_argument("--refresh", type=int, default=0,
+                    help="also run a variant with a periodic kernel-mode "
+                         "LS refresh every N iters")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -59,9 +64,11 @@ def main():
     warm_chunk(s, 20, rounds=2)
 
     out = {}
-    for tag in ("plain", "lsinit"):
+    variants = ["plain", "lsinit"] + \
+        (["ls_refresh"] if args.refresh else [])
+    for tag in variants:
         s.reinit()
-        if tag == "lsinit":
+        if tag != "plain":
             t0 = time.time()
             s.ls_init_experts(mode=args.mode)
             t_solve_cold = time.time() - t0
@@ -73,7 +80,8 @@ def main():
             out["ls_solve_cold_s"] = round(t_solve_cold, 3)
         from smoe_tpu.core.losses import psnr_from_mse
         _, m0, _, _ = s.run_batched(train=False)
-        r = fit(s, args.target, args.max)
+        r = fit(s, args.target, args.max,
+                ls_every=args.refresh if tag == "ls_refresh" else 0)
         r["init_psnr"] = round(float(psnr_from_mse(m0, s.cfg.precision)), 2)
         out[tag] = r
         print(tag, json.dumps(r), flush=True)
