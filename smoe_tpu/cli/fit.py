@@ -307,6 +307,11 @@ def main(args=None):
                 except ValueError as e:
                     print(f"reseed stopped: {e}")
                     break
+                if args.ls_init:
+                    # refit ALL experts under the post-reseed gating (the
+                    # reseeded slab's experts are sample-initialized);
+                    # exact line search => cannot regress the blend MSE
+                    smoe.ls_init_experts(mode=args.ls_init)
                 its = args.reseed_iterations * (5 if kk == kpd[2] - 1 else 1)
                 # like the reference, the reseed/inc retrains do NOT thread
                 # the loss mask (smoe_test.py:204/239/241 pass no
@@ -324,6 +329,8 @@ def main(args=None):
             smoe.reinit_inc(threshold_rel=args.threshold_rel,
                             plot_dir=args.results_path)
             smoe.apply_inc()
+            if args.ls_init:
+                smoe.ls_init_experts(mode=args.ls_init)
             smoe.train(args.iterations_inc,
                        val_iter=args.validation_iterations,
                        pis_l1=0, sv_l1_sub_l2=args.svreg,

@@ -124,6 +124,20 @@ class TestLsInit:
             runs[tag] = s.get_best_mse()
         assert runs["ls"] < runs["plain"], runs
 
+    def test_cli_inc_compose(self, tmp_path):
+        """-lsinit composes with the incremental-insertion loop (refresh
+        after each splice) without destabilizing the fit."""
+        cv2 = pytest.importorskip("cv2")
+        from smoe_tpu.cli.fit import main as fit_main
+        img_path = str(tmp_path / "img.png")
+        cv2.imwrite(img_path, np.uint8(_img() * 255))
+        res = str(tmp_path / "inc")
+        s = fit_main(["-i", img_path, "-r", res, "-n", "20", "-k", "3",
+                      "-v", "10", "-is", "1", "-ni", "10", "-na", "10",
+                      "-lsinit", "kernel"])
+        assert np.isfinite(s.get_best_mse())
+        assert int(s.kernel_count) > 9  # kernels were inserted
+
     def test_lf_train_mask_rows_excluded(self):
         """4D LF: untrained corner views must not enter the solve."""
         rng = np.random.default_rng(2)
