@@ -138,6 +138,24 @@ class TestLsInit:
         assert np.isfinite(s.get_best_mse())
         assert int(s.kernel_count) > 9  # kernels were inserted
 
+    def test_mesh_trainer_compose(self):
+        """ls_init_experts on a mesh-mode Smoe (the solve runs as a plain
+        single-program jit; the meshed step reshards the refreshed params):
+        solution == unmeshed, and training still steps."""
+        import jax
+        cpus = jax.devices("cpu")
+        mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        nus = []
+        for m in (None, mesh):
+            s = Smoe(_img(), kernels_per_dim=[4], batch_size=(8, 8), mesh=m)
+            s.set_optimizer()
+            s.ls_init_experts(mode="coupled")
+            nus.append(np.asarray(s.params.nu_e))
+            if m is not None:
+                loss, *_ = s.run_batched_chunk(2)
+                assert np.isfinite(np.asarray(loss)).all()
+        np.testing.assert_allclose(nus[0], nus[1], atol=1e-5)
+
     def test_lf_train_mask_rows_excluded(self):
         """4D LF: untrained corner views must not enter the solve."""
         rng = np.random.default_rng(2)
