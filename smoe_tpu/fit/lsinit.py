@@ -75,7 +75,7 @@ def _design_coords(eff, cfg: SmoeConfig, coords: jnp.ndarray):
 
 @partial(jax.jit, static_argnames=("cfg", "coupled"))
 def _accumulate(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
-                valid, train_mask, model_mask, coupled: bool):
+                valid, train_mask, loss_w, model_mask, coupled: bool):
     """Scan the blocks once, accumulating weighted normal equations.
 
     Returns (G, b) where for 'kernel' mode G is (K, p, p) / b is (K, p, C)
@@ -89,11 +89,11 @@ def _accumulate(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
 
     def block(carry, xs):
         G, bvec = carry
-        coords, targets, klist, tmask = xs
+        coords, targets, klist, tmask, lw = xs
         cin, craw, cexp = _design_coords(eff, cfg, coords)
         maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
         w_e = gating(maha, eff.pis, diag_A, cfg, klist)        # (Nb, K)
-        rw = valid.astype(jnp.float32)
+        rw = valid.astype(jnp.float32) * lw
         if tmask is not None:
             rw = rw * tmask.astype(jnp.float32)
         # zero-padded rows (coords==0 in pad) ride along with w from dead
@@ -126,7 +126,8 @@ def _accumulate(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     tm = train_mask if train_mask is not None \
         else jnp.ones(coords_all.shape[:2], bool)
     (G, bvec), _ = jax.lax.scan(block, (G0, b0),
-                                (coords_all, targets_all, klists, tm))
+                                (coords_all, targets_all, klists, tm,
+                                 loss_w))
     return G, bvec
 
 
@@ -190,7 +191,8 @@ def _solve_coupled(G, bvec, nu0, gam0, cfg: SmoeConfig, ridge: float):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _line_search_t(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
-                   valid, train_mask, model_mask, nu0, gam0, d_nu, d_gam):
+                   valid, train_mask, loss_w, model_mask, nu0, gam0,
+                   d_nu, d_gam):
     """Exact step size along the direction (d_nu, d_gam) for the blend
     objective sum_n rw_n ||yhat_n + t*u_n - y_n||^2: t* = -<r,u>/<u,u>.
     One scan over blocks; the float (pre-QAT) experts are used for yhat,
@@ -199,11 +201,11 @@ def _line_search_t(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
 
     def block(carry, xs):
         uu, ru = carry
-        coords, targets, klist, tmask = xs
+        coords, targets, klist, tmask, lw = xs
         cin, craw, cexp = _design_coords(eff, cfg, coords)
         maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
         w_e = gating(maha, eff.pis, diag_A, cfg, klist)        # (Nb, K)
-        rw = valid.astype(jnp.float32)
+        rw = valid.astype(jnp.float32) * lw
         if tmask is not None:
             rw = rw * tmask.astype(jnp.float32)
         # per-kernel affine surfaces at the block pixels: (Nb, K, C)
@@ -219,16 +221,21 @@ def _line_search_t(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     tm = train_mask if train_mask is not None \
         else jnp.ones(coords_all.shape[:2], bool)
     (uu, ru), _ = jax.lax.scan(block, (jnp.float32(0), jnp.float32(0)),
-                               (coords_all, targets_all, klists, tm))
+                               (coords_all, targets_all, klists, tm,
+                                loss_w))
     return jnp.where(uu > 0, -ru / jnp.maximum(uu, 1e-30), 0.0)
 
 
 def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
-                       coupled_max_cols: int = 4096) -> float:
+                       coupled_max_cols: int = 4096,
+                       use_loss_mask: bool = True) -> float:
     """Replace (nu_e, gamma_e) with their least-squares fit under the
     current gating.  Returns the gated pixel mass (diagnostic).
 
     mode: 'kernel' | 'coupled' | 'auto' (coupled when K*(1+d) fits).
+    When the Smoe carries a loss mask (inpainting/denoise workloads) the
+    solve weights rows by it, like the masked training loss — disable
+    via use_loss_mask=False.
     Mutates smoe.params; optimizer state is left untouched (Adam moments
     for the expert groups start at zero anyway when called before
     set_optimizer; after training, call set_optimizer() to reset).
@@ -244,11 +251,13 @@ def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
     coupled = mode == "coupled"
 
     bset = smoe.bset
+    lw = smoe.loss_mask if (use_loss_mask and smoe.loss_mask is not None) \
+        else jnp.ones(bset.coords.shape[:2], jnp.float32)
     # bset arrays (not the mesh-sharded _coords_dev): this one-shot solve
     # runs as a plain single-program jit even when the trainer is meshed
     G, bvec = _accumulate(eff, cfg, bset.coords, bset.targets,
                           smoe.kernel_lists, bset.valid, bset.train_mask,
-                          smoe.model_mask, coupled)
+                          lw, smoe.model_mask, coupled)
     solve = _solve_coupled if coupled else _solve_kernel
     nu0, gam0 = smoe.params.nu_e, smoe.params.gamma_e
     nu, gam = solve(G, bvec, nu0, gam0, cfg, float(ridge))
@@ -257,7 +266,8 @@ def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
         # (see module docstring): never regresses vs the sample init.
         t = _line_search_t(eff, cfg, bset.coords, bset.targets,
                            smoe.kernel_lists, bset.valid, bset.train_mask,
-                           smoe.model_mask, nu0, gam0, nu - nu0, gam - gam0)
+                           lw, smoe.model_mask, nu0, gam0, nu - nu0,
+                           gam - gam0)
         nu = nu0 + t * (nu - nu0)
         gam = gam0 + t * (gam - gam0)
     smoe.params = smoe.params.replace(nu_e=nu, gamma_e=gam)

@@ -156,6 +156,26 @@ class TestLsInit:
                 assert np.isfinite(np.asarray(loss)).all()
         np.testing.assert_allclose(nus[0], nus[1], atol=1e-5)
 
+    def test_loss_mask_rows_excluded(self):
+        """Pixels with loss weight 0 (inpainting holes) must not enter the
+        solve: corrupting them changes nothing."""
+        img = _img()
+        mask = np.ones(img.shape[:2], np.float32)
+        mask[8:16, 10:20] = 0.0
+        # coupled mode: the solve is sample-init-independent for gated
+        # kernels (kernel mode's line-search direction starts from nu0,
+        # which itself samples the corrupted pixels)
+        s1 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16),
+                  loss_mask=mask)
+        s1.ls_init_experts(mode="coupled")
+        bad = img.copy()
+        bad[8:16, 10:20] = 0.99
+        s2 = Smoe(bad, kernels_per_dim=[4], batch_size=(16, 16),
+                  loss_mask=mask)
+        s2.ls_init_experts(mode="coupled")
+        np.testing.assert_allclose(np.asarray(s1.params.nu_e),
+                                   np.asarray(s2.params.nu_e), atol=1e-5)
+
     def test_lf_train_mask_rows_excluded(self):
         """4D LF: untrained corner views must not enter the solve."""
         rng = np.random.default_rng(2)
