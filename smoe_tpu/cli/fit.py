@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="closed-form least-squares expert init under the "
                         "initial gating before training (fit/lsinit.py; "
                         "beyond the reference)")
+    p.add_argument("-lsri", "--ls_refresh_iter", type=int, default=0,
+                   help="re-solve the experts in closed form every N "
+                        "training iterations (line-searched, "
+                        "non-regressing; fit/lsinit.py)")
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
@@ -293,6 +297,7 @@ def main(args=None):
                        pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
                        sampling_percentage=args.sampling_percentage,
                        use_loss_mask=loss_mask is not None,
+                       ls_refresh_iter=args.ls_refresh_iter or None,
                        callbacks=callbacks)
 
         # video: per-time-slab kernel reseeding + retrain

@@ -1275,10 +1275,15 @@ class Smoe:
     def train(self, num_iter, val_iter=100, ukl_iter=None, pis_l1=0.0,
               u_l1=0.0, sv_l1_sub_l2=0.0, sampling_percentage=100,
               callbacks=(), with_inc=False, train_inc=False, train_orig=True,
-              use_loss_mask=False, grad_clip_value_abs=None):
+              use_loss_mask=False, grad_clip_value_abs=None,
+              ls_refresh_iter=None):
         """Outer fit loop (reference smoe.py:1485-1603): initial eval,
         per-iteration sweep, validation cadence, kernel-list refresh,
-        divergence guard, best-loss snapshot, callbacks."""
+        divergence guard, best-loss snapshot, callbacks.
+
+        ls_refresh_iter (beyond the reference, fit/lsinit.py): every N
+        iters re-solve the experts in closed form under the current
+        gating (line-searched — cannot regress the blend MSE)."""
         if ukl_iter is None:
             ukl_iter = val_iter
         if grad_clip_value_abs is not None and \
@@ -1334,6 +1339,9 @@ class Smoe:
             # reference's per-iter loop, minus the dispatch latency.
             boundary = min(((i // val_iter) + 1) * val_iter,
                            ((i // ukl_iter) + 1) * ukl_iter, num_iter)
+            if ls_refresh_iter:
+                boundary = min(boundary,
+                               ((i // ls_refresh_iter) + 1) * ls_refresh_iter)
             chunk = boundary - i
             try:
                 with self.phase_timer.phase("train_sweeps"):
@@ -1366,6 +1374,15 @@ class Smoe:
                     if not validate:
                         loss_val, mse_val, num_pi, num_sv = self.run_batched(
                             pis_l1, u_l1, train=False)
+
+                if ls_refresh_iter and i % ls_refresh_iter == 0:
+                    # before the validate block so the snapshot sees the
+                    # (non-regressing) refreshed experts
+                    self.ls_init_experts(mode="kernel")
+                    if not validate:     # validate re-evals below anyway
+                        loss_val, mse_val, num_pi, num_sv = self.run_batched(
+                            pis_l1, u_l1, train=False,
+                            use_loss_mask=use_loss_mask)
 
                 if validate:
                     if self.cfg.quantization_mode >= 1:

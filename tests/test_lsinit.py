@@ -156,6 +156,19 @@ class TestLsInit:
                 assert np.isfinite(np.asarray(loss)).all()
         np.testing.assert_allclose(nus[0], nus[1], atol=1e-5)
 
+    def test_train_ls_refresh_cadence(self):
+        """train(ls_refresh_iter=N): the refreshed fit must end at least
+        as good as the plain fit (line search is non-regressing) and the
+        cadence must not break chunk boundaries or the best snapshot."""
+        runs = {}
+        for lri in (None, 10):
+            s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16))
+            s.set_optimizer()
+            s.train(30, val_iter=15, ls_refresh_iter=lri)
+            runs[lri] = s.get_best_mse()
+        assert np.isfinite(runs[10])
+        assert runs[10] <= runs[None] * 1.05, runs
+
     def test_loss_mask_rows_excluded(self):
         """Pixels with loss weight 0 (inpainting holes) must not enter the
         solve: corrupting them changes nothing."""
