@@ -4,7 +4,8 @@ Sweeps the pi-L1 sparsifier to trade kernels for quality, measuring the
 REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
-Usage: python scripts/rd_curve.py [image.png] [iters] [--dp] [--lean|--ulean]
+Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
+                                  [--lean|--ulean] [--lsinit]
 
 --dp: fit all RD points concurrently via the data-parallel fan-out
 (parallel/sharded.py fit_many, SURVEY §2.2 DP row) — one model per device
@@ -31,10 +32,12 @@ def main():
     from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
     from smoe_tpu.io.images import read_image
 
-    argv = [a for a in sys.argv[1:] if a not in ("--dp", "--lean", "--ulean")]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--dp", "--lean", "--ulean", "--lsinit")]
     use_dp = "--dp" in sys.argv[1:]
     lean = "--lean" in sys.argv[1:]
     ulean = "--ulean" in sys.argv[1:]
+    lsinit = "--lsinit" in sys.argv[1:]
     bit_depths = ((8, 10, 8, 10, 6) if ulean else
                   (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
     if argv and not argv[0].isdigit():
@@ -82,7 +85,7 @@ def main():
         imgs = np.repeat(img[None], len(pis_vals), axis=0)
         batched, _ = fit_many(imgs, s.cfg, steps=iters, mesh=mesh,
                               pis_l1=np.asarray(pis_vals, np.float32),
-                              refresh_every=100)
+                              refresh_every=100, ls_init=lsinit)
         for i, pis_l1 in enumerate(pis_vals):
             s.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x[i]),
                                               batched)
@@ -93,6 +96,8 @@ def main():
             s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
                      precision=precision, bit_depths=bit_depths)
             s.set_optimizer()
+            if lsinit:
+                s.ls_init_experts(mode="kernel")
             chunk = 100
             done = 0
             while done < iters:           # run ALL iters incl. a remainder

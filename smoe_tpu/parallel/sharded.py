@@ -180,7 +180,8 @@ def shard_inputs(mesh: Mesh, params: SmoeParams, coords, targets, klists):
 def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
              mesh: Optional[Mesh] = None, opt_cfg=None,
              pis_l1=0.0, u_l1=0.0, block_shape=None,
-             refresh_every: Optional[int] = None):
+             refresh_every: Optional[int] = None,
+             ls_init: bool = False):
     """Data-parallel RD-sweep fan-out: fit M independent SMoE models, one
     (or more) per device (SURVEY §2.2 DP row).
 
@@ -203,6 +204,9 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
             over the model axis, so kernels that migrate toward a block
             re-enter its list — the analog of `Smoe.update_kernel_list`'s
             ukl cadence (default None: survivor feedback only).
+    ls_init: run the closed-form LS expert init (fit/lsinit.py, kernel
+            mode + line search) vmapped over the model axis before the
+            first sweep — the fan-out analog of `Smoe.ls_init_experts`.
     Overlap (cfg.overlap, reference smoe.py:18-35) and SSIM optimization
     (cfg.ssim_opt) fan out too: the per-model loss IS the trainer's
     `_block_loss`, which handles both.  Only the SV residual stays
@@ -260,6 +264,24 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
         kmasks = jnp.tile(kl0[None], (m, 1, 1))       # (m, B, K)
     block_padded = bset.block_padded
     bw = 1.0 / B
+
+    if ls_init:
+        from smoe_tpu.fit.lsinit import (_accumulate, _line_search_t,
+                                         _solve_kernel)
+        lw = jnp.ones(coords.shape[:2], jnp.float32)
+
+        def solve_one(p, tgt, km):
+            eff = effective_params(p, cfg, musX_grid)
+            G, bv = _accumulate(eff, cfg, coords, tgt, km, bset.valid,
+                                None, lw, None, False)
+            nu, gam = _solve_kernel(G, bv, p.nu_e, p.gamma_e, cfg, 1e-6)
+            t = _line_search_t(eff, cfg, coords, tgt, km, bset.valid,
+                               None, lw, None, p.nu_e, p.gamma_e,
+                               nu - p.nu_e, gam - p.gamma_e)
+            return p.replace(nu_e=p.nu_e + t * (nu - p.nu_e),
+                             gamma_e=p.gamma_e + t * (gam - p.gamma_e))
+
+        batched = jax.vmap(solve_one)(batched, targets, kmasks)
 
     def one_step(p, s, km, tgt, w1, w2):
         reg = RegWeights(w1, w2, jnp.float32(0.0))

@@ -169,6 +169,27 @@ class TestLsInit:
         assert np.isfinite(runs[10])
         assert runs[10] <= runs[None] * 1.05, runs
 
+    def test_fit_many_ls_init_parity(self):
+        """fit_many(ls_init=True) == Smoe.ls_init_experts('kernel') for the
+        same (global-fit) config; zero-LR step isolates the solve."""
+        from smoe_tpu.config import OptConfig
+        from smoe_tpu.parallel.sharded import fit_many
+        img = _img()
+        s = Smoe(img, kernels_per_dim=[4], batch_size=(32, 32))
+        s.ls_init_experts(mode="kernel")
+        imgs = np.stack([img, img])
+        batched, mses = fit_many(imgs, s.cfg, steps=1,
+                                 opt_cfg=OptConfig(base_lr=0.0),
+                                 ls_init=True)
+        # atol 5e-4: vmapped solve reorders the Gram reductions vs the
+        # single-model jit (measured diff ~7e-5 on O(1) params)
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(batched.nu_e[i]),
+                                       np.asarray(s.params.nu_e), atol=5e-4)
+            np.testing.assert_allclose(np.asarray(batched.gamma_e[i]),
+                                       np.asarray(s.params.gamma_e),
+                                       atol=5e-4)
+
     def test_loss_mask_rows_excluded(self):
         """Pixels with loss weight 0 (inpainting holes) must not enter the
         solve: corrupting them changes nothing."""
