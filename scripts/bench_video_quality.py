@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--pg", type=int, default=None,
                     help="probe grid points per dim (-pg)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lsinit", action="store_true",
+                    help="closed-form LS expert init + post-reseed "
+                         "refreshes (fit -lsinit kernel)")
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation "
                          "A10/mu12/nu8/pi10/g8 (-lean 1; RD study "
@@ -104,7 +107,8 @@ def main():
       + (["-iukl", "1"] if args.iukl else [])
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
       + (["-b", str(args.blocks)] if args.blocks else [])
-      + (["-pg", str(args.pg)] if args.pg else []))
+      + (["-pg", str(args.pg)] if args.pg else [])
+      + (["-lsinit", "kernel"] if args.lsinit else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's
