@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--ulean", action="store_true",
                     help="code with the ultra-lean allocation "
                          "A8/mu10/nu8/pi10/g6 (per-group knee)")
+    ap.add_argument("--lsinit", action="store_true",
+                    help="closed-form LS expert init (fit -lsinit kernel)")
     args = ap.parse_args()
 
     lf = build_lf(s=args.s)
@@ -108,6 +110,8 @@ def main():
         argv += ["-lean", "1"]
     if args.ulean:
         argv += ["-ulean", "1"]
+    if args.lsinit:
+        argv += ["-lsinit", "kernel"]
     smoe = fit_main(argv)
     fit_s = time.time() - t0
 
