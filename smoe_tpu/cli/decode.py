@@ -21,6 +21,10 @@ def main(args=None):
     p.add_argument("-r", "--results_path", type=str, default="/tmp")
     p.add_argument("-p", "--params_file", type=str, required=True)
     p.add_argument("-b", "--batches", type=int, default=1)
+    p.add_argument("-s", "--scale", type=float, default=None,
+                   help="decode the continuous model at scale x the coded "
+                        "spatial resolution (.smoe inputs only; beyond "
+                        "the reference)")
     a = p.parse_args(args)
 
     from smoe_tpu import Smoe
@@ -35,7 +39,8 @@ def main(args=None):
         # end to end (one compiled forward, chunked so memory is bounded —
         # no OOM retry loop needed)
         from smoe_tpu.codec.serve import decode_bitstream
-        rec, header = decode_bitstream(a.params_file, return_header=True)
+        rec, header = decode_bitstream(a.params_file, return_header=True,
+                                       scale=a.scale)
         os.makedirs(a.results_path, exist_ok=True)
         c = int(np.ravel(header.get("dim_of_output", [3]))[0])
         out = write_image(
@@ -45,6 +50,9 @@ def main(args=None):
             precision=int(header.get("precision", 8)))
         print(f"wrote {out}")
         return rec
+    if a.scale:
+        raise SystemExit("--scale needs a .smoe bitstream input "
+                         "(the pickle path rebuilds the trainer grid)")
     with open(a.params_file, "rb") as fd:
         cp = pickle.load(fd)
 

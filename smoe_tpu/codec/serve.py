@@ -124,11 +124,20 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
 
 
 def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
-                     return_header: bool = False):
+                     return_header: bool = False,
+                     scale: Optional[float] = None,
+                     out_shape: Optional[Tuple[int, ...]] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
     callers that need output metadata don't entropy-decode twice).
+
+    scale / out_shape (beyond the reference): the model is a CONTINUOUS
+    function on [0,1]^d, so it decodes at ANY raster — `scale=2` renders
+    the spatial dims at 2x (video keeps its frame count, 4D LF keeps its
+    view grid), `out_shape` names the full output raster explicitly.
+    The reference evaluates only the training grid
+    (smoe_reconstruction_decoded.py:16-62).
     """
     from smoe_tpu.codec.bitstream import read_bitstream
     from smoe_tpu.codec.quantize import rescaler
@@ -175,7 +184,16 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)
-    dec = make_decoder(img_shape, c, cfg, cap, chunk_pixels,
+    if out_shape is None and scale is not None:
+        # spatial dims only: a video's frame axis (dim 2 of (H, W, T))
+        # and an LF's view grid (dims 0,1 of (U, V, Y, X)) keep their
+        # native sampling — the time/view coordinates are where motion /
+        # the corner mask semantics live
+        spatial = {2: (0, 1), 3: (0, 1), 4: (2, 3)}[d]
+        out_shape = tuple(
+            int(round(s * scale)) if i in spatial else s
+            for i, s in enumerate(img_shape))
+    dec = make_decoder(out_shape or img_shape, c, cfg, cap, chunk_pixels,
                        motion=motion, model_mask=model_mask)
     rec = np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
                          padded["gamma_e"], padded["pis"]))

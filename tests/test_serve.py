@@ -209,3 +209,29 @@ def test_decode_bitstream_one_call(fitted, tmp_path):
     rec = decode_bitstream(path)
     rec_ref = s.get_qreconstruction()
     np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
+
+
+def test_decode_bitstream_scaled(fitted, tmp_path):
+    """Resolution-free decode: the continuous model rendered at 2x must
+    agree with the 1x decode at the SHARED sample points (the [0,1]
+    raster i/(N-1) hits the same coords at stride 2 when the 2x raster
+    has 2N-1 points), and out_shape= names an explicit raster."""
+    img, s = fitted
+    from smoe_tpu.codec.bitstream import write_bitstream
+    path = str(tmp_path / "m.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(img.shape[:2]),
+        "dim_of_output": [img.shape[-1]],
+        "use_yuv": bool(s.cfg.use_yuv),
+        "use_determinant": bool(s.cfg.use_determinant),
+    })
+    rec1 = decode_bitstream(path)
+    n = img.shape[0]
+    rec2 = decode_bitstream(path, out_shape=(2 * n - 1, 2 * n - 1))
+    assert rec2.shape == (2 * n - 1, 2 * n - 1, img.shape[-1])
+    np.testing.assert_allclose(rec2[::2, ::2], rec1, atol=1e-5)
+    # scale= derives the raster (identity at 1.0)
+    rec_s = decode_bitstream(path, scale=1.0)
+    np.testing.assert_allclose(rec_s, rec1, atol=1e-6)
+    assert decode_bitstream(path, scale=2.0).shape == \
+        (2 * n, 2 * n, img.shape[-1])
