@@ -76,9 +76,13 @@ def time_iters(s, n):
 
 
 def main():
+    import os
+
     import jax
 
-    img = build_image(512)
+    # debug/CI hook: run the whole bench at a smaller geometry (the
+    # recorded headline always uses the default 512)
+    img = build_image(int(os.environ.get("SMOE_BENCH_SIZE", 512)))
     n_pix = img.shape[0] * img.shape[1]
 
     # ---- TPU fit ----
@@ -157,8 +161,9 @@ def main():
 
     evals_per_sec = n_pix * rep["npi"] / t_iter_warm
     speedup = t_iter_cpu / t_iter_warm
+    size = img.shape[0]
     out = {
-        "metric": "tpu_s_per_iter_512x512_rgb_256k",
+        "metric": f"tpu_s_per_iter_{size}x{size}_rgb_256k",
         "value": round(t_iter_warm, 5),
         "unit": "s/iter",
         "vs_baseline": round(speedup, 2),
