@@ -25,7 +25,15 @@ def main(args=None):
                    help="decode the continuous model at scale x the coded "
                         "spatial resolution (.smoe inputs only; beyond "
                         "the reference)")
+    p.add_argument("--roi", type=str, default=None,
+                   help="decode only this spatial window, 'y0:y1,x0:x1' in "
+                        "native pixels (composes with -s for zoom; .smoe "
+                        "inputs only)")
     a = p.parse_args(args)
+    roi = None
+    if a.roi:
+        roi = tuple(tuple(int(v) for v in r.split(":"))
+                    for r in a.roi.split(","))
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.quantize import rescaler
@@ -40,7 +48,7 @@ def main(args=None):
         # no OOM retry loop needed)
         from smoe_tpu.codec.serve import decode_bitstream
         rec, header = decode_bitstream(a.params_file, return_header=True,
-                                       scale=a.scale)
+                                       scale=a.scale, roi=roi)
         os.makedirs(a.results_path, exist_ok=True)
         c = int(np.ravel(header.get("dim_of_output", [3]))[0])
         out = write_image(
@@ -50,8 +58,8 @@ def main(args=None):
             precision=int(header.get("precision", 8)))
         print(f"wrote {out}")
         return rec
-    if a.scale:
-        raise SystemExit("--scale needs a .smoe bitstream input "
+    if a.scale or roi:
+        raise SystemExit("--scale/--roi need a .smoe bitstream input "
                          "(the pickle path rebuilds the trainer grid)")
     with open(a.params_file, "rb") as fd:
         cp = pickle.load(fd)

@@ -57,7 +57,8 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
                  cfg: SmoeConfig, capacity: int,
                  chunk_pixels: Optional[int] = None,
                  motion: Optional[np.ndarray] = None,
-                 model_mask: Optional[np.ndarray] = None):
+                 model_mask: Optional[np.ndarray] = None,
+                 sample_points: Optional[Tuple[np.ndarray, ...]] = None):
     """Compile a decoder for one image/video geometry.
 
     Returns fn(A (K,d,d), musX (K,d), nu_e (K,C), gamma_e (K,d,C),
@@ -69,9 +70,20 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
     domain is motion-transformed exactly like training (video/motion.py).
     model_mask: (capacity,) bool for dual-model video (kernels with False
     gate on the raw domain).  Both baked into the compiled program.
+    sample_points: per-dim 1D coordinate vectors in [0,1] overriding the
+    native raster (gen_domain's linspace(0,1,n)) — the ROI/zoom/SR hook;
+    the output raster is their outer product and img_shape is ignored.
     """
     d = cfg.dim_domain
-    assert len(img_shape) == d
+    if sample_points is not None:
+        assert len(sample_points) == d
+        sp = [np.asarray(v, np.float32) for v in sample_points]
+        img_shape = tuple(len(v) for v in sp)
+        coords = np.stack(np.meshgrid(*sp, indexing="ij"),
+                          axis=-1).astype(np.float32)
+    else:
+        assert len(img_shape) == d
+        coords = gen_domain(tuple(img_shape), d)  # no pixel array needed
     n = int(np.prod(img_shape))
     k_pad = _round_up(capacity, 128)
     if chunk_pixels is None:
@@ -79,7 +91,6 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
         chunk_pixels = max(1024, min(n, (8 << 20) // (4 * k_pad)))
         chunk_pixels = _round_up(chunk_pixels, 256)
     n_pad = _round_up(n, chunk_pixels)
-    coords = gen_domain(tuple(img_shape), d)   # no pixel array materialized
     coords = np.pad(coords.reshape(-1, d), ((0, n_pad - n), (0, 0)))
     coords = jnp.asarray(coords.reshape(-1, chunk_pixels, d))
     motion_arr = None if motion is None \
@@ -126,17 +137,21 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
 def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      return_header: bool = False,
                      scale: Optional[float] = None,
-                     out_shape: Optional[Tuple[int, ...]] = None):
+                     out_shape: Optional[Tuple[int, ...]] = None,
+                     roi: Optional[Tuple[Tuple[int, int], ...]] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
     callers that need output metadata don't entropy-decode twice).
 
-    scale / out_shape (beyond the reference): the model is a CONTINUOUS
-    function on [0,1]^d, so it decodes at ANY raster — `scale=2` renders
-    the spatial dims at 2x (video keeps its frame count, 4D LF keeps its
-    view grid), `out_shape` names the full output raster explicitly.
-    The reference evaluates only the training grid
+    scale / out_shape / roi (beyond the reference): the model is a
+    CONTINUOUS function on [0,1]^d, so it decodes at ANY raster —
+    `scale=2` renders the spatial dims at 2x (video keeps its frame
+    count, 4D LF keeps its view grid), `out_shape` names the full output
+    raster explicitly, and `roi=((y0,y1),(x0,x1))` (native-pixel
+    half-open box over the spatial dims) renders just that window
+    without decoding the rest of the frame; roi composes with scale
+    (zoom rendering).  The reference evaluates only the training grid
     (smoe_reconstruction_decoded.py:16-62).
     """
     from smoe_tpu.codec.bitstream import read_bitstream
@@ -184,17 +199,32 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)
-    if out_shape is None and scale is not None:
+    sample_points = None
+    if out_shape is None and (scale is not None or roi is not None):
         # spatial dims only: a video's frame axis (dim 2 of (H, W, T))
         # and an LF's view grid (dims 0,1 of (U, V, Y, X)) keep their
         # native sampling — the time/view coordinates are where motion /
         # the corner mask semantics live
         spatial = {2: (0, 1), 3: (0, 1), 4: (2, 3)}[d]
-        out_shape = tuple(
-            int(round(s * scale)) if i in spatial else s
-            for i, s in enumerate(img_shape))
+        sample_points = []
+        for i, s_dim in enumerate(img_shape):
+            if i not in spatial:
+                sample_points.append(
+                    np.linspace(0.0, 1.0, s_dim, dtype=np.float32))
+                continue
+            lo, hi = (roi[spatial.index(i)] if roi is not None
+                      else (0, s_dim))
+            assert 0 <= lo < hi <= s_dim, f"roi {(lo, hi)} out of [0,{s_dim}]"
+            npts = max(int(round((hi - lo) * (scale or 1.0))), 1)
+            # native pixel i sits at i/(N-1): the window's samples span
+            # its first..last native pixel so scale=1 reproduces the
+            # crop of the native decode exactly
+            sample_points.append(np.linspace(
+                lo / (s_dim - 1), (hi - 1) / (s_dim - 1), npts,
+                dtype=np.float32))
     dec = make_decoder(out_shape or img_shape, c, cfg, cap, chunk_pixels,
-                       motion=motion, model_mask=model_mask)
+                       motion=motion, model_mask=model_mask,
+                       sample_points=sample_points)
     rec = np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
                          padded["gamma_e"], padded["pis"]))
     return (rec, header) if return_header else rec

@@ -235,3 +235,8 @@ def test_decode_bitstream_scaled(fitted, tmp_path):
     np.testing.assert_allclose(rec_s, rec1, atol=1e-6)
     assert decode_bitstream(path, scale=2.0).shape == \
         (2 * n, 2 * n, img.shape[-1])
+    # roi= renders exactly the native crop (and composes with scale)
+    rec_roi = decode_bitstream(path, roi=((8, 24), (4, 20)))
+    np.testing.assert_allclose(rec_roi, rec1[8:24, 4:20], atol=1e-5)
+    assert decode_bitstream(path, roi=((8, 24), (4, 20)), scale=2.0).shape \
+        == (32, 32, img.shape[-1])
