@@ -109,6 +109,15 @@ def test_serve_video_with_motion_and_dual_model(tmp_path):
     assert rec.shape == rec_ref.shape
     np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
 
+    # scaled video decode: spatial dims at 2x, frame axis untouched (the
+    # motion transform + frame indexing live on the t coordinate)
+    rec2 = decode_bitstream(path, scale=2.0)
+    assert rec2.shape == (2 * h, 2 * w, t, 1)
+    assert np.isfinite(rec2).all()
+    # roi: a spatial window of every frame
+    rec_r = decode_bitstream(path, roi=((4, 12), (2, 10)))
+    np.testing.assert_allclose(rec_r, rec[4:12, 2:10], atol=1e-5)
+
 
 def test_decode_bitstream_diff_center_beyond_grid(tmp_path):
     """use_diff_center + a used kernel BEYOND the init grid (what an inc
