@@ -144,9 +144,11 @@ class TestLsInit:
         solution == unmeshed, and training still steps."""
         import jax
         cpus = jax.devices("cpu")
-        mesh = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        mesh_b = jax.sharding.Mesh(np.asarray(cpus[:8]), ("b",))
+        mesh_bk = jax.sharding.Mesh(np.asarray(cpus[:8]).reshape(4, 2),
+                                    ("b", "k"))
         nus = []
-        for m in (None, mesh):
+        for m in (None, mesh_b, mesh_bk):
             s = Smoe(_img(), kernels_per_dim=[4], batch_size=(8, 8), mesh=m)
             s.set_optimizer()
             s.ls_init_experts(mode="coupled")
@@ -155,6 +157,7 @@ class TestLsInit:
                 loss, *_ = s.run_batched_chunk(2)
                 assert np.isfinite(np.asarray(loss)).all()
         np.testing.assert_allclose(nus[0], nus[1], atol=1e-5)
+        np.testing.assert_allclose(nus[0], nus[2], atol=1e-5)
 
     def test_train_ls_refresh_cadence(self):
         """train(ls_refresh_iter=N): the refreshed fit must end at least
