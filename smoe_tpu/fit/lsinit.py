@@ -236,6 +236,11 @@ def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
     When the Smoe carries a loss mask (inpainting/denoise workloads) the
     solve weights rows by it, like the masked training loss — disable
     via use_loss_mask=False.
+    SV caveat: the solve targets the raw pixels, not pixels minus the SV
+    residual — exact at init (SVs start at zero); a mid-fit refresh of a
+    train_svs model transiently double-counts what the SVs already
+    explain (Adam re-equilibrates; the line search still bounds the
+    blend-MSE regression).
     Mutates smoe.params; optimizer state is left untouched (Adam moments
     for the expert groups start at zero anyway when called before
     set_optimizer; after training, call set_optimizer() to reset).
