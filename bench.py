@@ -143,14 +143,21 @@ def main():
 
     # extra (not the headline): the closed-form LS expert init
     # (fit/lsinit.py, beyond the reference) ahead of the same recipe —
-    # solve compile warmed separately, solve runtime counted in the fit
-    s.reinit()
-    s.ls_init_experts(mode="kernel")
-    ls_runs = [timed_fit(ls_init=True) for _ in range(3)]
-    ls_reached = sorted([r for r in ls_runs if r["reached"]],
-                        key=lambda r: r["t"])
-    t_ls = float(np.median([r["t"] for r in ls_reached])) if ls_reached \
-        else max(ls_runs, key=lambda r: r["psnr"])["t"]
+    # solve compile warmed separately, solve runtime counted in the fit.
+    # Defensive: the headline must survive any failure here (e.g. a
+    # remote-compile flake on the three extra solve programs).
+    t_ls = None
+    ls_runs = []
+    try:
+        s.reinit()
+        s.ls_init_experts(mode="kernel")
+        ls_runs = [timed_fit(ls_init=True) for _ in range(3)]
+        ls_reached = sorted([r for r in ls_runs if r["reached"]],
+                            key=lambda r: r["t"])
+        t_ls = float(np.median([r["t"] for r in ls_reached])) \
+            if ls_reached else max(ls_runs, key=lambda r: r["psnr"])["t"]
+    except Exception as e:          # noqa: BLE001
+        print(f"lsinit extra skipped: {e!r}", file=sys.stderr)
 
     # ---- CPU reference point (same computation, host backend) ----
     cpu = jax.devices("cpu")[0]
@@ -169,10 +176,9 @@ def main():
         "vs_baseline": round(speedup, 2),
         "wallclock_to_32db_median_s": round(t_median, 3),
         "wallclock_runs_s": [round(r["t"], 3) for r in runs],
-        "wallclock_to_32db_lsinit_s": round(t_ls, 3),
-        "lsinit_runs_s": [round(r["t"], 3) for r in ls_runs],
-        "lsinit_iters": (ls_reached[len(ls_reached) // 2]["iters"]
-                         if ls_reached else ls_runs[0]["iters"]),
+        **({"wallclock_to_32db_lsinit_s": round(t_ls, 3),
+            "lsinit_runs_s": [round(r["t"], 3) for r in ls_runs]}
+           if t_ls is not None else {}),
         "reached_32db": rep["reached"],
         "final_psnr_db": round(rep["psnr"], 2),
         "iters": rep["iters"],
