@@ -138,7 +138,8 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      return_header: bool = False,
                      scale: Optional[float] = None,
                      out_shape: Optional[Tuple[int, ...]] = None,
-                     roi: Optional[Tuple[Tuple[int, int], ...]] = None):
+                     roi: Optional[Tuple[Tuple[int, int], ...]] = None,
+                     frames: Optional[Tuple[int, int]] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
@@ -151,7 +152,10 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     raster explicitly, and `roi=((y0,y1),(x0,x1))` (native-pixel
     half-open box over the spatial dims) renders just that window
     without decoding the rest of the frame; roi composes with scale
-    (zoom rendering).  The reference evaluates only the training grid
+    (zoom rendering).  `frames=(t0,t1)` (video, d==3) decodes only that
+    half-open frame range at the native frame coordinates — random
+    access without rendering the rest of the clip.  The reference
+    evaluates only the training grid
     (smoe_reconstruction_decoded.py:16-62).
     """
     from smoe_tpu.codec.bitstream import read_bitstream
@@ -199,8 +203,11 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)
+    if frames is not None:
+        assert d == 3, "frames= is for video bitstreams (d==3)"
     sample_points = None
-    if out_shape is None and (scale is not None or roi is not None):
+    if out_shape is None and (scale is not None or roi is not None
+                              or frames is not None):
         # spatial dims only: a video's frame axis (dim 2 of (H, W, T))
         # and an LF's view grid (dims 0,1 of (U, V, Y, X)) keep their
         # native sampling — the time/view coordinates are where motion /
@@ -209,8 +216,13 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
         sample_points = []
         for i, s_dim in enumerate(img_shape):
             if i not in spatial:
-                sample_points.append(
-                    np.linspace(0.0, 1.0, s_dim, dtype=np.float32))
+                native = np.linspace(0.0, 1.0, s_dim, dtype=np.float32)
+                if frames is not None and d == 3 and i == 2:
+                    t0, t1 = frames
+                    assert 0 <= t0 < t1 <= s_dim, \
+                        f"frames {(t0, t1)} out of [0,{s_dim}]"
+                    native = native[t0:t1]
+                sample_points.append(native)
                 continue
             lo, hi = (roi[spatial.index(i)] if roi is not None
                       else (0, s_dim))

@@ -117,6 +117,10 @@ def test_serve_video_with_motion_and_dual_model(tmp_path):
     # roi: a spatial window of every frame
     rec_r = decode_bitstream(path, roi=((4, 12), (2, 10)))
     np.testing.assert_allclose(rec_r, rec[4:12, 2:10], atol=1e-5)
+    # frames: random access to a frame range at native t coordinates
+    # (the motion transform needs the TRUE t value per frame)
+    rec_f = decode_bitstream(path, frames=(1, 3))
+    np.testing.assert_allclose(rec_f, rec[:, :, 1:3], atol=1e-5)
 
 
 def test_decode_bitstream_diff_center_beyond_grid(tmp_path):
