@@ -25,6 +25,7 @@ out_dir = sys.argv[4]
 sys.path.insert(0, sys.argv[5])
 resume_from = sys.argv[6] if len(sys.argv) > 6 else ""
 img_h = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+mesh_kind = sys.argv[8] if len(sys.argv) > 8 else "b"
 import jax
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
@@ -43,8 +44,16 @@ y, x = np.mgrid[0:h, 0:16] / (h - 1)
 img = np.stack([0.5 + 0.3 * np.sin(5 * x + 40 * y),
                 0.5 + 0.3 * np.cos(4 * x + 80 * y),
                 0.4 + 0.2 * np.sin(3 * (x + 20 * y))], -1).astype(np.float32)
-mesh = Mesh(np.asarray(devs), ("b",))
-s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 16), mesh=mesh)
+if mesh_kind == "bk":
+    # kernel axis ('k') within each process's 2 local devices, block
+    # axis ('b') across processes — the ICI-inside / DCN-across layout.
+    # K=16 so the capacity divides the 2-way 'k' axis.
+    mesh = Mesh(np.asarray(devs).reshape(-1, 2), ("b", "k"))
+    kpd = [4]
+else:
+    mesh = Mesh(np.asarray(devs), ("b",))
+    kpd = [3]
+s = Smoe(img, kernels_per_dim=kpd, batch_size=(8, 16), mesh=mesh)
 s.set_optimizer()
 if resume_from:
     # EVERY process restores the same process-0 checkpoint -> the fleet
@@ -71,7 +80,7 @@ def _free_port():
 
 
 def _run_fleet(worker, tmp_path, repo, out_dir, resume_from="",
-               nproc=2, dev_per_proc=2, img_h=0):
+               nproc=2, dev_per_proc=2, img_h=0, mesh_kind="b"):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)      # clean CPU-only interpreters
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
@@ -80,8 +89,8 @@ def _run_fleet(worker, tmp_path, repo, out_dir, resume_from="",
         f"--xla_force_host_platform_device_count={dev_per_proc}"
     port = _free_port()
     extra = []
-    if resume_from or img_h:
-        extra = [resume_from, str(img_h)]
+    if resume_from or img_h or mesh_kind != "b":
+        extra = [resume_from, str(img_h), mesh_kind]
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(nproc), str(port), out_dir,
          repo] + extra,
@@ -129,6 +138,24 @@ def test_two_process_lockstep_training_and_resume(tmp_path):
     assert resumed[0]["loss"] == resumed[1]["loss"]
     assert resumed[0]["iter"] == results[0]["iter"] + 2
     assert resumed[0]["loss"] < results[0]["loss"]
+
+
+def test_two_process_bk_mesh_lockstep(tmp_path):
+    """Cross-process ('b','k') mesh: block axis over DCN (processes),
+    kernel axis over each process's local devices — the layout a real
+    pod would use (K-psum rides ICI).  Both processes must stay in
+    bit-identical lockstep, like the 'b'-mesh case."""
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fd:
+        fd.write(_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run1 = str(tmp_path / "run1")
+    os.makedirs(run1)
+    results = _run_fleet(worker, tmp_path, repo, run1, mesh_kind="bk")
+    assert results[0]["mesh_b"] == 2          # 2 'b' rows x 2 'k' cols
+    assert results[0]["loss"] == results[1]["loss"]
+    assert np.isfinite(results[0]["loss"])
+    assert results[0]["wrote_checkpoint"] and not results[1]["wrote_checkpoint"]
 
 
 def test_elastic_resume_different_fleet_shape(tmp_path):
