@@ -57,6 +57,25 @@ def main():
             "psnr_db": round(10 * np.log10(255 ** 2 / mse), 2),
         }), flush=True)
 
+        # random-access variants (round 3): a quarter-frame ROI window
+        # decodes ~4x cheaper than the full raster — the point of
+        # window serving
+        q = size // 2
+        sp = (np.linspace(0, (q - 1) / (size - 1), q, dtype=np.float32),
+              np.linspace(0, (q - 1) / (size - 1), q, dtype=np.float32))
+        dec_roi = make_decoder(None, c, s.cfg, k, sample_points=sp)
+        out = dec_roi(*args)
+        t0 = time.time()
+        for _ in range(n_frames):
+            out = dec_roi(*args)
+        out.block_until_ready()
+        dt_roi = (time.time() - t0) / n_frames
+        print(json.dumps({
+            "metric": f"decode_roi_quarter_ms_{size}",
+            "value": round(dt_roi * 1000, 3), "unit": "ms",
+            "full_frame_ms": round(dt * 1000, 3),
+        }), flush=True)
+
     _video_decode()
 
 
