@@ -117,12 +117,14 @@ class TestLsInit:
         img_path = str(tmp_path / "img.png")
         cv2.imwrite(img_path, np.uint8(_img() * 255))
         runs = {}
-        for tag, extra in (("plain", []), ("ls", ["-lsinit", "auto"])):
+        for tag, extra in (("plain", []), ("ls", ["-lsinit", "auto"]),
+                           ("lsri", ["-lsinit", "auto", "-lsri", "10"])):
             res = str(tmp_path / tag)
             s = fit_main(["-i", img_path, "-r", res, "-n", "20", "-k", "4",
                           "-v", "10"] + extra)
             runs[tag] = s.get_best_mse()
         assert runs["ls"] < runs["plain"], runs
+        assert runs["lsri"] <= runs["ls"] * 1.05, runs
 
     def test_cli_inc_compose(self, tmp_path):
         """-lsinit composes with the incremental-insertion loop (refresh
