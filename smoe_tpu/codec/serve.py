@@ -139,7 +139,8 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      scale: Optional[float] = None,
                      out_shape: Optional[Tuple[int, ...]] = None,
                      roi: Optional[Tuple[Tuple[int, int], ...]] = None,
-                     frames: Optional[Tuple[int, int]] = None):
+                     frames: Optional[Tuple[int, int]] = None,
+                     views: Optional[Tuple[Tuple[int, int], ...]] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
@@ -154,9 +155,10 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     without decoding the rest of the frame; roi composes with scale
     (zoom rendering).  `frames=(t0,t1)` (video, d==3) decodes only that
     half-open frame range at the native frame coordinates — random
-    access without rendering the rest of the clip.  The reference
-    evaluates only the training grid
-    (smoe_reconstruction_decoded.py:16-62).
+    access without rendering the rest of the clip; `views=((u0,u1),
+    (v0,v1))` (4D LF, d==4) is the analog for view navigation (decode
+    one view: `views=((u,u+1),(v,v+1))`).  The reference evaluates only
+    the training grid (smoe_reconstruction_decoded.py:16-62).
     """
     from smoe_tpu.codec.bitstream import read_bitstream
     from smoe_tpu.codec.quantize import rescaler
@@ -205,9 +207,11 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     padded = pad_decoded_params(rp, cap, d, c)
     if frames is not None:
         assert d == 3, "frames= is for video bitstreams (d==3)"
+    if views is not None:
+        assert d == 4, "views= is for 4D light-field bitstreams (d==4)"
     sample_points = None
     if out_shape is None and (scale is not None or roi is not None
-                              or frames is not None):
+                              or frames is not None or views is not None):
         # spatial dims only: a video's frame axis (dim 2 of (H, W, T))
         # and an LF's view grid (dims 0,1 of (U, V, Y, X)) keep their
         # native sampling — the time/view coordinates are where motion /
@@ -217,11 +221,16 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
         for i, s_dim in enumerate(img_shape):
             if i not in spatial:
                 native = np.linspace(0.0, 1.0, s_dim, dtype=np.float32)
+                win = None
                 if frames is not None and d == 3 and i == 2:
-                    t0, t1 = frames
-                    assert 0 <= t0 < t1 <= s_dim, \
-                        f"frames {(t0, t1)} out of [0,{s_dim}]"
-                    native = native[t0:t1]
+                    win = frames
+                elif views is not None and d == 4 and i in (0, 1):
+                    win = views[i]
+                if win is not None:
+                    lo, hi = win
+                    assert 0 <= lo < hi <= s_dim, \
+                        f"range {(lo, hi)} out of [0,{s_dim}] on dim {i}"
+                    native = native[lo:hi]
                 sample_points.append(native)
                 continue
             lo, hi = (roi[spatial.index(i)] if roi is not None

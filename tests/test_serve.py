@@ -224,6 +224,34 @@ def test_decode_bitstream_one_call(fitted, tmp_path):
     np.testing.assert_allclose(rec, rec_ref, atol=1e-6)
 
 
+def test_serve_lf_view_navigation(tmp_path):
+    """4D LF: decode a single view (views=) and a view window, exact vs
+    the corresponding slice of the full decode."""
+    rng = np.random.default_rng(2)
+    u = np.linspace(0, 1, 15)[:, None, None, None]
+    v = np.linspace(0, 1, 15)[None, :, None, None]
+    yy = np.linspace(0, 1, 6)[None, None, :, None]
+    xx = np.linspace(0, 1, 6)[None, None, None, :]
+    lf = 0.5 + 0.2 * np.sin(3 * (yy + 0.2 * u)) * np.cos(4 * (xx + v))
+    lf = np.clip(np.broadcast_to(lf, (15, 15, 6, 6))
+                 + rng.normal(0, 0.01, (15, 15, 6, 6)), 0, 1
+                 ).astype(np.float32)[..., None]
+    s = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False)
+    s.set_optimizer()
+    s.run_batched_chunk(10)
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    from smoe_tpu.codec.bitstream import write_bitstream
+    path = str(tmp_path / "lf.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(lf.shape[:4]), "dim_of_output": [1],
+        "use_yuv": False, "use_determinant": bool(s.cfg.use_determinant)})
+    full = decode_bitstream(path)
+    one = decode_bitstream(path, views=((1, 2), (3, 4)))
+    np.testing.assert_allclose(one, full[1:2, 3:4], atol=1e-5)
+    win = decode_bitstream(path, views=((0, 3), (2, 5)))
+    np.testing.assert_allclose(win, full[0:3, 2:5], atol=1e-5)
+
+
 def test_decode_bitstream_scaled(fitted, tmp_path):
     """Resolution-free decode: the continuous model rendered at 2x must
     agree with the 1x decode at the SHARED sample points (the [0,1]
