@@ -570,6 +570,11 @@ def write_bitstream(path: str, qparams: Dict, cfg,
     if extra:
         header.update(extra)
     payload = encode_symbols(vals, nbits, group)
+    # payload integrity: a flipped bit in an adaptive range-coded stream
+    # silently corrupts EVERYTHING after it (the model contexts diverge),
+    # so decoders need a cheap way to tell "corrupt file" from "bad
+    # model".  Old readers ignore the extra header field.
+    header["payload_crc32"] = zlib.crc32(payload) & 0xFFFFFFFF
     # Header bytes count against the real rate too: a CIF dual-model
     # video header is ~10 KB of JSON (model_mask + used_kernels +
     # per-group bounds), 13-17% of the file.  zlib level 9 takes it to
@@ -595,6 +600,13 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
         hraw = zlib.decompress(hraw)
     header = json.loads(hraw.decode("utf-8"))
     payload = data[8 + hlen:]
+    want_crc = header.get("payload_crc32")      # absent in pre-3.2 files
+    if want_crc is not None and (zlib.crc32(payload) & 0xFFFFFFFF) \
+            != want_crc:
+        raise ValueError(
+            "corrupt bitstream: payload CRC mismatch (truncated or "
+            "bit-flipped file — adaptive range-coded payloads cannot "
+            "be partially decoded)")
 
     bd = header["bit_depths"]
     shapes = header["shapes"]

@@ -212,6 +212,26 @@ def test_nbr_mode_spatial_prediction_roundtrip(tmp_path, toy_rgb):
             err_msg=f"{name} mismatch after nbr roundtrip")
 
 
+def test_corrupt_payload_crc_rejected(tmp_path, toy_rgb):
+    """A bit-flip in the range-coded payload raises a clear error
+    instead of silently decoding garbage (payload_crc32, v3.2)."""
+    from smoe_tpu.codec.bitstream import read_bitstream, write_bitstream
+    from smoe_tpu.fit.trainer import Smoe
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+    s.set_optimizer()
+    s.run_batched_chunk(5)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "m.smoe")
+    write_bitstream(path, q, s.cfg)
+    read_bitstream(path)                     # intact file decodes
+    blob = bytearray(open(path, "rb").read())
+    blob[-3] ^= 0x10                         # flip one payload bit
+    bad = str(tmp_path / "bad.smoe")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC"):
+        read_bitstream(bad)
+
+
 def test_fuzz_symbol_roundtrip():
     """Randomized symbol streams (1..20-bit, all context groups) encode ->
     decode exactly, native and Python coders agreeing bit for bit."""
