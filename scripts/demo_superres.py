@@ -49,8 +49,11 @@ def main():
     lo = build_image(256)
     gt = build_image(512)        # same continuous function, finer raster
 
+    # -np 0 semantics: normalized pis (~1/K) fall below the 10-bit pi
+    # quantization step and collapse the decode (see rd_curve/video
+    # bench notes); unnormalized pis start at 1.0
     s = Smoe(lo, kernels_per_dim=[args.k], use_yuv=True,
-             use_determinant=True)
+             use_determinant=True, normalize_pis=False)
     s.set_optimizer()
     s.ls_init_experts()
     s.train(args.iters, val_iter=max(args.iters // 5, 1), ukl_iter=100)
