@@ -29,6 +29,9 @@ def main(args=None):
                    help="decode only this spatial window, 'y0:y1,x0:x1' in "
                         "native pixels (composes with -s for zoom; .smoe "
                         "inputs only)")
+    p.add_argument("--layers", type=int, default=None,
+                   help="decode only the first N tiers of a layered "
+                        "(SNR-scalable) .smoe bitstream")
     a = p.parse_args(args)
     roi = None
     if a.roi:
@@ -48,7 +51,8 @@ def main(args=None):
         # no OOM retry loop needed)
         from smoe_tpu.codec.serve import decode_bitstream
         rec, header = decode_bitstream(a.params_file, return_header=True,
-                                       scale=a.scale, roi=roi)
+                                       scale=a.scale, roi=roi,
+                                       layers=a.layers)
         os.makedirs(a.results_path, exist_ok=True)
         c = int(np.ravel(header.get("dim_of_output", [3]))[0])
         out = write_image(
@@ -58,9 +62,9 @@ def main(args=None):
             precision=int(header.get("precision", 8)))
         print(f"wrote {out}")
         return rec
-    if a.scale or roi:
-        raise SystemExit("--scale/--roi need a .smoe bitstream input "
-                         "(the pickle path rebuilds the trainer grid)")
+    if a.scale or roi or a.layers:
+        raise SystemExit("--scale/--roi/--layers need a .smoe bitstream "
+                         "input (the pickle path rebuilds the trainer grid)")
     with open(a.params_file, "rb") as fd:
         cp = pickle.load(fd)
 

@@ -34,6 +34,11 @@ def main(args=None):
                    help="quantize/code with the ultra-lean allocation "
                         "A8/mu10/nu8/pi10/g6 (the measured per-group "
                         "transparency knee; see cli/fit.py -ulean)")
+    p.add_argument("-layers", "--layers", type=int, default=None,
+                   help="write an SNR-scalable LAYERED bitstream with N "
+                        "importance-ordered kernel tiers — any tier "
+                        "prefix decodes to a coarser model "
+                        "(cli/decode --layers m)")
     a = p.parse_args(args)
     if a.lean_bits:
         a.bit_depths = [10, 12, 8, 10, 8]
@@ -120,7 +125,7 @@ def main(args=None):
                     smoe.model_mask)[used].astype(int).tolist()
         bits = write_bitstream(
             os.path.join(a.results_path, "model.smoe"), smoe.qparams,
-            smoe.cfg, extra=extra)
+            smoe.cfg, extra=extra, layers=a.layers)
         n_pix = int(np.prod(orig.shape[:-1]))
         print(f"rate: {bits} bits coded "
               f"({rate_bits(smoe.qparams, smoe.cfg)} raw proxy), "

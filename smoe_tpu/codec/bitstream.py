@@ -523,15 +523,88 @@ def rate_breakdown(qparams: Dict, cfg) -> Dict[str, Dict]:
     return out
 
 
+def kernel_importance(qparams: Dict, cfg) -> np.ndarray:
+    """Analytic per-kernel importance from the quantized params alone.
+
+    A kernel's expected share of the total gating mass is proportional
+    to pi_k times the integral of its unnormalized responsibility over
+    the domain: with the determinant normalizer (cfg.use_determinant)
+    that integral is a constant, so importance ~ pi_k; without it the
+    responsibility integrates to (2pi)^{d/2} / |prod diag(A_k)| (A is
+    the inverse-covariance Cholesky factor), so wide kernels weigh
+    more.  Default kernel ordering for layered bitstreams
+    (write_bitstream layers=): most-of-the-image first.
+    """
+    st = qparams["steps"]
+    lo, up = qparams["lower_bounds"], qparams["upper_bounds"]
+
+    def deq(name, skey):
+        return (np.asarray(qparams[name], np.float64) / st[skey]
+                * (np.asarray(up[name], np.float64)
+                   - np.asarray(lo[name], np.float64))
+                + np.asarray(lo[name], np.float64))
+
+    imp = np.abs(deq("pis", "pis").reshape(-1))
+    if not getattr(cfg, "use_determinant", True):
+        ad = deq("A_diagonal", "A")
+        if ad.ndim == 3:
+            ad = np.diagonal(ad, axis1=1, axis2=2)
+        vol = np.prod(np.maximum(np.abs(ad.reshape(imp.size, -1)), 1e-6),
+                      axis=1)
+        imp = imp / vol
+    return imp
+
+
+def _layer_rows(k: int, layers, importance: np.ndarray):
+    """Partition the k reduced kernels into importance tiers.
+
+    layers: int L (near-equal kernel counts) or an explicit list of
+    per-layer counts summing to k.  Returns a list of row-index arrays,
+    each sorted ascending (raster order within the layer) so the
+    within-layer inter-kernel predictors see spatially-ordered kernels.
+    """
+    if isinstance(layers, (int, np.integer)):
+        n = max(1, min(int(layers), k))
+        base, rem = divmod(k, n)
+        counts = [base + (1 if i < rem else 0) for i in range(n)]
+    else:
+        counts = [int(c) for c in layers]
+        if not (all(c > 0 for c in counts) and sum(counts) == k):
+            raise ValueError(
+                f"layer counts {counts} must be positive and sum to {k}")
+    order = np.argsort(-np.asarray(importance, np.float64), kind="stable")
+    out, off = [], 0
+    for c in counts:
+        out.append(np.sort(order[off:off + c]))
+        off += c
+    return out
+
+
 def write_bitstream(path: str, qparams: Dict, cfg,
-                    extra: Optional[Dict] = None) -> int:
+                    extra: Optional[Dict] = None,
+                    layers=None, importance: Optional[np.ndarray] = None
+                    ) -> int:
     """Serialize quantized params as an entropy-coded file.
 
     extra: JSON-serializable fields merged into the header (image shape,
     flags) so the decode CLI needs nothing else.
+    layers (beyond the reference): write an SNR-scalable LAYERED stream
+    (container v4) — kernels are importance-ordered and split into
+    tiers, each tier an independently range-coded payload segment with
+    its own slot bitmap, coding modes and CRC.  A decoder can stop
+    after any tier prefix (read_bitstream max_layers= /
+    decode_bitstream layers=) and still reconstruct a valid SMoE model
+    (gating renormalizes over the kernels present), so one file serves
+    multiple quality levels and a truncated transmission decodes to the
+    tiers fully received.  int L = near-equal split; list = per-layer
+    kernel counts.
+    importance: per-kernel sort keys (higher = earlier layer),
+    e.g. a measured gating mass; default kernel_importance().
     Returns the payload size in bits (the real rate; compare against
     codec.quantize.rate_bits' raw proxy).
     """
+    if layers is not None:
+        return _write_layered(path, qparams, cfg, extra, layers, importance)
     bd = list(cfg.bit_depths)
     shapes = {n: list(np.asarray(qparams[n]).shape)
               for n in _ORDER if n in qparams}
@@ -589,8 +662,100 @@ def write_bitstream(path: str, qparams: Dict, cfg,
     return len(payload) * 8
 
 
-def read_bitstream(path: str) -> Tuple[Dict, Dict]:
-    """Read back (qparams dict, header dict)."""
+def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
+                   importance) -> int:
+    """Layered (v4) writer — see write_bitstream(layers=)."""
+    bd = list(cfg.bit_depths)
+    used = np.asarray(qparams["used_kernels"], bool).reshape(-1)
+    slot_of_row = np.flatnonzero(used)
+    k = int(slot_of_row.size)
+    shapes = {n: list(np.asarray(qparams[n]).shape)
+              for n in _ORDER if n in qparams}
+    dtypes = {n: str(np.asarray(qparams[n]).dtype)
+              for n in _ORDER if n in qparams}
+    names = [n for n in _ORDER_V3 if n in qparams]
+    for n in names:
+        sz = _structural_size(n, shapes[n])
+        if not (k and sz % k == 0 and np.asarray(qparams[n]).shape[0] == k):
+            raise ValueError(
+                f"layered bitstreams need per-kernel streams; {n} has "
+                f"{sz} symbols for {k} kernels")
+    imp = (np.asarray(importance, np.float64) if importance is not None
+           else kernel_importance(qparams, cfg))
+    if imp.shape != (k,):
+        raise ValueError(f"importance shape {imp.shape} != ({k},)")
+    parts = _layer_rows(k, layers, imp)
+    payloads, lheaders = [], []
+    for rows in parts:
+        lmask = np.zeros(used.size, bool)
+        lmask[slot_of_row[rows]] = True
+        sub = {"steps": qparams["steps"],
+               "lower_bounds": qparams["lower_bounds"],
+               "upper_bounds": qparams["upper_bounds"],
+               "used_kernels": lmask}
+        for n in names:
+            sub[n] = np.asarray(qparams[n])[rows]
+        vals, nbits, group, modes, ranges = _symbol_stream(
+            sub, bd, int(rows.size), cfg=cfg)
+        pay = encode_symbols(vals, nbits, group)
+        payloads.append(pay)
+        lh = {"kernels": np.packbits(lmask).tolist(),
+              "num_kernels": int(rows.size),
+              "bytes": len(pay),
+              "crc32": zlib.crc32(pay) & 0xFFFFFFFF,
+              "modes": modes}
+        if ranges:
+            lh["ranges"] = ranges
+        lheaders.append(lh)
+    header = {
+        "version": 4,
+        "order": list(_ORDER_V3),
+        "layers": lheaders,
+        "num_kernels": k,
+        "dim_domain": cfg.dim_domain,
+        "radial_as": bool(cfg.radial_as),
+        "use_diff_center": bool(cfg.use_diff_center),
+        "train_inverse_cov": bool(cfg.train_inverse_cov),
+        "kernels_per_dim": list(cfg.kernels_per_dim),
+        "precision": cfg.precision,
+        "bit_depths": bd,
+        "shapes": shapes,
+        "dtypes": dtypes,
+        "steps": {kk: int(v) for kk, v in qparams["steps"].items()},
+        "lower_bounds": {kk: [np.asarray(v).tolist(),
+                              str(np.asarray(v).dtype)]
+                         for kk, v in qparams["lower_bounds"].items()},
+        "upper_bounds": {kk: [np.asarray(v).tolist(),
+                              str(np.asarray(v).dtype)]
+                         for kk, v in qparams["upper_bounds"].items()},
+        "used_kernels": np.packbits(used).tolist(),
+        "num_slots": int(used.size),
+    }
+    if extra:
+        header.update(extra)
+    payload = b"".join(payloads)
+    header["payload_crc32"] = zlib.crc32(payload) & 0xFFFFFFFF
+    hjson = zlib.compress(json.dumps(header).encode("utf-8"), 9)
+    with open(path, "wb") as fd:
+        fd.write(MAGIC)
+        fd.write(struct.pack("<I", len(hjson)))
+        fd.write(hjson)
+        fd.write(payload)
+    return len(payload) * 8
+
+
+def read_bitstream(path: str, max_layers: Optional[int] = None
+                   ) -> Tuple[Dict, Dict]:
+    """Read back (qparams dict, header dict).
+
+    max_layers: for layered (v4) files, decode only the first m tiers —
+    the returned qparams hold that kernel subset (rows in raster slot
+    order, used_kernels/model_mask/shapes rewritten consistently), so
+    every downstream consumer (rescaler, serve, CLIs) works unchanged.
+    A FULL layered decode is bit-identical to the same model written
+    without layers.  None = all layers (and on v<4 files the only valid
+    value).
+    """
     with open(path, "rb") as fd:
         data = fd.read()
     assert data[:4] == MAGIC, "not an SMoE bitstream"
@@ -600,6 +765,12 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
         hraw = zlib.decompress(hraw)
     header = json.loads(hraw.decode("utf-8"))
     payload = data[8 + hlen:]
+    if "layers" in header:
+        return _read_layered(header, payload, max_layers)
+    if max_layers is not None:
+        raise ValueError(
+            "max_layers= needs a layered (v4) bitstream; this file was "
+            "written without layers")
     want_crc = header.get("payload_crc32")      # absent in pre-3.2 files
     if want_crc is not None and (zlib.crc32(payload) & 0xFFFFFFFF) \
             != want_crc:
@@ -685,3 +856,147 @@ def read_bitstream(path: str) -> Tuple[Dict, Dict]:
                                       shapes[name], qzero)
         off += n
     return qparams, header
+
+
+def _read_layered(header: Dict, payload: bytes,
+                  max_layers: Optional[int]) -> Tuple[Dict, Dict]:
+    """Layered (v4) reader — see read_bitstream(max_layers=).
+
+    Each tier decodes independently (own coder, own slot bitmap, own
+    prediction context); decoded rows are then permuted back to raster
+    slot order, so a full decode returns EXACTLY what the non-layered
+    path would and a prefix decode returns a self-consistent sub-model.
+    """
+    lheaders = header["layers"]
+    n_layers = len(lheaders)
+    m = n_layers if max_layers is None \
+        else max(1, min(int(max_layers), n_layers))
+    bd = header["bit_depths"]
+    shapes = header["shapes"]
+    order = tuple(header.get("order", _ORDER_V3))
+    names = [n for n in order if n in shapes]
+    k_full = int(header["num_kernels"])
+    num_slots = int(header["num_slots"])
+    comps = {}
+    for n in names:
+        sz = _structural_size(n, shapes[n])
+        if not (k_full and sz % k_full == 0):
+            raise ValueError(f"corrupt bitstream: {n} has {sz} symbols "
+                             f"for {k_full} kernels")
+        comps[n] = sz // k_full
+    if max_layers is None:
+        want = header.get("payload_crc32")
+        if want is not None and (zlib.crc32(payload) & 0xFFFFFFFF) != want:
+            raise ValueError(
+                "corrupt bitstream: payload CRC mismatch (truncated or "
+                "bit-flipped file); pass max_layers= to decode the "
+                "intact tier prefix of a truncated transmission")
+
+    lower = {kk: np.asarray(v, np.dtype(dt))
+             for kk, (v, dt) in header["lower_bounds"].items()}
+    upper = {kk: np.asarray(v, np.dtype(dt))
+             for kk, (v, dt) in header["upper_bounds"].items()}
+    chunks = {n: [] for n in names}     # per-layer (k_i, comps) int64 rows
+    slots_parts = []
+    off_bytes = 0
+    for li in range(m):
+        lh = lheaders[li]
+        nbytes = int(lh["bytes"])
+        pay = payload[off_bytes:off_bytes + nbytes]
+        off_bytes += nbytes
+        if len(pay) != nbytes or \
+                (zlib.crc32(pay) & 0xFFFFFFFF) != int(lh["crc32"]):
+            raise ValueError(
+                f"corrupt bitstream: layer {li} truncated or CRC "
+                f"mismatch (intact prefix: max_layers={li})")
+        ki = int(lh["num_kernels"])
+        modes = lh.get("modes", {})
+        ranges = lh.get("ranges", {})
+        lmask = np.unpackbits(np.asarray(lh["kernels"], np.uint8),
+                              count=num_slots).astype(bool)
+        lslots = np.flatnonzero(lmask)
+        if lslots.size != ki:
+            raise ValueError(f"corrupt bitstream: layer {li} bitmap has "
+                             f"{lslots.size} slots for {ki} kernels")
+        slots_parts.append(lslots)
+        nbits, group = [], []
+        for n in names:
+            base = ranges[n][1] if n in ranges else bd[_BD_INDEX[n]]
+            b = int(base) + (1 if modes.get(n, "raw") != "raw" else 0)
+            if not 0 < b <= 32:
+                raise ValueError(f"corrupt bitstream: layer {li} {n} "
+                                 f"symbol width {b} not in 1..32")
+            nbits.append(np.full(ki * comps[n], b, np.uint8))
+            group.append(np.full(ki * comps[n], _GROUP_BITS[n], np.uint8))
+        vals = decode_symbols(pay, np.concatenate(nbits),
+                              np.concatenate(group))
+        off = 0
+        mus_nbr = None
+        for n in names:
+            nsym = ki * comps[n]
+            raw = vals[off:off + nsym]
+            off += nsym
+            mode = modes.get(n, "raw")
+            if mode == "delta":
+                raw = _delta_decode(raw, ki)
+            elif mode == "nbr":
+                if mus_nbr is None:
+                    raise ValueError("corrupt bitstream: 'nbr' mode "
+                                     "before musX decoded")
+                raw = _nbr_decode(raw, ki, mus_nbr)
+            elif mode.startswith("const:"):
+                raw = (_unzigzag(raw) + int(mode[6:])).astype(np.uint32)
+            elif mode == "grid":
+                pred = _musx_grid_pred(
+                    header["kernels_per_dim"], header["dim_domain"],
+                    lower["musX"], upper["musX"],
+                    int(header["steps"]["musX"]), lmask)
+                raw = (_unzigzag(raw) + pred).astype(np.uint32)
+            if n in ranges:
+                raw = raw.astype(np.int64) + int(ranges[n][0])
+            if n == "musX" and ki > 1:
+                mus_nbr = _causal_nbr(
+                    np.asarray(raw, np.int64).reshape(ki, -1))
+            chunks[n].append(np.asarray(raw, np.int64).reshape(ki, -1))
+
+    slots = np.concatenate(slots_parts)
+    perm = np.argsort(slots, kind="stable")
+    k_dec = int(slots.size)
+    used_dec = np.zeros(num_slots, bool)
+    used_dec[slots] = True
+    qparams: Dict = {
+        "steps": header["steps"],
+        "lower_bounds": lower,
+        "upper_bounds": upper,
+        "used_kernels": used_dec,
+    }
+    header_out = dict(header)
+    header_out["shapes"] = dict(shapes)
+    header_out["layers_decoded"] = m
+    if m < n_layers:
+        header_out["num_kernels"] = k_dec
+        header_out["used_kernels"] = np.packbits(used_dec).tolist()
+        mm = header.get("model_mask")
+        if mm is not None and len(mm) == k_full:
+            # model_mask rows align with the FULL reduced kernel rows in
+            # raster slot order (cli/fit extra) — keep the survivors
+            full_slots = np.flatnonzero(np.unpackbits(
+                np.asarray(header["used_kernels"], np.uint8),
+                count=num_slots).astype(bool))
+            keep = np.isin(full_slots, slots)
+            header_out["model_mask"] = [v for v, kp in zip(mm, keep) if kp]
+    for n in names:
+        rows = np.concatenate(chunks[n])[perm]          # (k_dec, comps)
+        dt = np.dtype(header.get("dtypes", {}).get(n, "float64"))
+        shape_n = list(shapes[n])
+        shape_n[0] = k_dec
+        qzero = None
+        if n in ("A_diagonal", "A_corr") and len(shape_n) == 3:
+            from smoe_tpu.codec.quantize import RANGE_EPS
+            lb, ub = lower[n], upper[n]
+            qzero = np.round((0.0 - lb) / (ub - lb + RANGE_EPS)
+                             * header["steps"]["A"])
+        qparams[n] = _unstructural(n, rows.reshape(-1).astype(dt),
+                                   shape_n, qzero)
+        header_out["shapes"][n] = shape_n
+    return qparams, header_out

@@ -140,7 +140,8 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      out_shape: Optional[Tuple[int, ...]] = None,
                      roi: Optional[Tuple[Tuple[int, int], ...]] = None,
                      frames: Optional[Tuple[int, int]] = None,
-                     views: Optional[Tuple[Tuple[int, int], ...]] = None):
+                     views: Optional[Tuple[Tuple[int, int], ...]] = None,
+                     layers: Optional[int] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
@@ -157,13 +158,16 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     half-open frame range at the native frame coordinates — random
     access without rendering the rest of the clip; `views=((u0,u1),
     (v0,v1))` (4D LF, d==4) is the analog for view navigation (decode
-    one view: `views=((u,u+1),(v,v+1))`).  The reference evaluates only
-    the training grid (smoe_reconstruction_decoded.py:16-62).
+    one view: `views=((u,u+1),(v,v+1))`).  `layers=m` decodes only the
+    first m tiers of an SNR-scalable layered bitstream
+    (bitstream.write_bitstream layers=) — a coarser model from a prefix
+    of the file.  The reference evaluates only the training grid
+    (smoe_reconstruction_decoded.py:16-62).
     """
     from smoe_tpu.codec.bitstream import read_bitstream
     from smoe_tpu.codec.quantize import rescaler
 
-    qp, header = read_bitstream(path)
+    qp, header = read_bitstream(path, max_layers=layers)
     img_shape = tuple(int(v) for v in np.ravel(header["shape_of_img"]))
     c = int(np.ravel(header.get("dim_of_output", [3]))[0])
     d = len(img_shape)

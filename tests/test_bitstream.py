@@ -330,3 +330,173 @@ def test_corrupt_header_width_rejected(tmp_path, toy_rgb, bad_width):
                            + hjson + data[8 + hlen:])
     with pytest.raises(ValueError, match="width"):
         bs.read_bitstream(path)
+
+
+# ---------------------------------------------------------------------------
+# Layered (SNR-scalable, v4) bitstreams
+
+
+def _fit_toy(toy_rgb, iters=10, **kw):
+    from smoe_tpu.fit.trainer import Smoe
+
+    s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True, **kw)
+    s.set_optimizer()
+    s.run_batched_chunk(iters)
+    return s
+
+
+def test_layered_full_decode_bit_exact(tmp_path, toy_rgb):
+    """A full decode of a layered file returns EXACTLY the qparams of the
+    same model written without layers (rows re-sorted to raster slot
+    order), so layering costs nothing but the per-tier header/coder
+    overhead."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    # exercise the ranges path through the layered writer too
+    q["musX"] = np.asarray(q["musX"], np.float64).copy()
+    q["musX"][0, 0] = -5.0
+    flat = str(tmp_path / "flat.smoe")
+    lay = str(tmp_path / "lay.smoe")
+    bits_flat = bs.write_bitstream(flat, q, s.cfg)
+    bits_lay = bs.write_bitstream(lay, q, s.cfg, layers=3)
+    q1, _ = bs.read_bitstream(flat)
+    q2, h2 = bs.read_bitstream(lay)
+    assert len(h2["layers"]) == 3
+    assert sum(lh["num_kernels"] for lh in h2["layers"]) \
+        == h2["num_kernels"]
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q1[name]), np.asarray(q2[name]),
+            err_msg=f"{name} differs between layered and flat decode")
+    np.testing.assert_array_equal(q1["used_kernels"], q2["used_kernels"])
+    # 3 independent adaptive coders re-learn their contexts: small
+    # overhead, not a blow-up
+    assert bits_lay < bits_flat * 1.6 + 1024
+
+
+def test_layered_prefix_decode(tmp_path, toy_rgb):
+    """Decoding m < L tiers yields a self-consistent sub-model: fewer
+    kernels, used_kernels the union of the decoded tier bitmaps, and
+    rescaler/serve work unchanged."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=3,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1],
+                              "use_yuv": s.cfg.use_yuv,
+                              "use_determinant": s.cfg.use_determinant})
+    ks, used_prev = [], None
+    for m in (1, 2, 3):
+        qm, hm = bs.read_bitstream(path, max_layers=m)
+        k = int(np.asarray(qm["pis"]).shape[0])
+        ks.append(k)
+        assert hm["layers_decoded"] == m
+        assert int(np.count_nonzero(qm["used_kernels"])) == k
+        assert hm["num_kernels"] == k
+        if used_prev is not None:       # tiers nest
+            assert np.all(used_prev <= np.asarray(qm["used_kernels"]))
+        used_prev = np.asarray(qm["used_kernels"], bool)
+        r = rescaler(qm, s.cfg)
+        assert np.asarray(r["pis"]).shape == (k,)
+    assert ks[0] < ks[1] < ks[2]
+    q_full, _ = bs.read_bitstream(path)
+    assert ks[2] == int(np.asarray(q_full["pis"]).shape[0])
+
+    # serving decode of each prefix runs; the full-prefix image equals
+    # the unlayered-file image exactly
+    from smoe_tpu.codec.serve import decode_bitstream
+    imgs = [decode_bitstream(path, layers=m) for m in (1, 3)]
+    flat = str(tmp_path / "flat.smoe")
+    bs.write_bitstream(flat, q, s.cfg,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1],
+                              "use_yuv": s.cfg.use_yuv,
+                              "use_determinant": s.cfg.use_determinant})
+    np.testing.assert_array_equal(imgs[1], decode_bitstream(flat))
+    assert imgs[0].shape == imgs[1].shape
+
+
+def test_layered_importance_ordering(tmp_path, toy_rgb):
+    """Tier 0 holds the highest-importance kernels (default: gating mass
+    ~ pi with the determinant normalizer), and an explicit importance=
+    overrides the default."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    k = int(np.count_nonzero(np.asarray(q["used_kernels"], bool)))
+    if k < 4:
+        pytest.skip("toy fit culled too many kernels")
+    imp = bs.kernel_importance(q, s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=[2, k - 2])
+    _, h = bs.read_bitstream(path, max_layers=1)
+    slot_of_row = np.flatnonzero(np.asarray(q["used_kernels"], bool))
+    top2 = set(slot_of_row[np.argsort(-imp, kind="stable")[:2]].tolist())
+    lmask = np.unpackbits(np.asarray(h["layers"][0]["kernels"], np.uint8),
+                          count=h["num_slots"]).astype(bool)
+    assert set(np.flatnonzero(lmask).tolist()) == top2
+
+    # explicit importance: reverse it -> tier 0 holds the BOTTOM two
+    bs.write_bitstream(path, q, s.cfg, layers=[2, k - 2], importance=-imp)
+    _, h2 = bs.read_bitstream(path, max_layers=1)
+    bot2 = set(slot_of_row[np.argsort(imp, kind="stable")[:2]].tolist())
+    lmask2 = np.unpackbits(np.asarray(h2["layers"][0]["kernels"],
+                                      np.uint8),
+                           count=h2["num_slots"]).astype(bool)
+    assert set(np.flatnonzero(lmask2).tolist()) == bot2
+
+
+def test_layered_truncated_transmission(tmp_path, toy_rgb):
+    """A file cut mid-tier still decodes the intact tier prefix via
+    max_layers=, while a full decode refuses (per-tier CRCs)."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=3)
+    q1_ref, h = bs.read_bitstream(path, max_layers=1)
+    data = open(path, "rb").read()
+    # cut mid-tier-2: drop tier 3 entirely plus 2 bytes of tier 2
+    tail = sum(int(lh["bytes"]) for lh in h["layers"][2:]) + 2
+    cut = str(tmp_path / "cut.smoe")
+    open(cut, "wb").write(data[:len(data) - tail])
+    with pytest.raises(ValueError, match="CRC|truncat"):
+        bs.read_bitstream(cut)
+    with pytest.raises(ValueError, match="CRC|truncat"):
+        bs.read_bitstream(cut, max_layers=2)
+    q1_cut, _ = bs.read_bitstream(cut, max_layers=1)
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q1_ref[name]), np.asarray(q1_cut[name]),
+            err_msg=f"{name} differs on the truncated file's tier-1")
+
+
+def test_layered_model_mask_subset(tmp_path, toy_rgb):
+    """Per-kernel extra header fields aligned to reduced rows
+    (model_mask, cli/fit) are subset to the surviving rows on a prefix
+    decode, in the same raster order."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    k = int(np.count_nonzero(np.asarray(q["used_kernels"], bool)))
+    mm = [int(i % 2 == 0) for i in range(k)]
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=2,
+                       extra={"model_mask": mm})
+    qm, hm = bs.read_bitstream(path, max_layers=1)
+    full_slots = np.flatnonzero(np.asarray(q["used_kernels"], bool))
+    dec_slots = np.flatnonzero(np.asarray(qm["used_kernels"], bool))
+    want = [mm[i] for i, sl in enumerate(full_slots)
+            if sl in set(dec_slots.tolist())]
+    assert hm["model_mask"] == want
+    assert len(hm["model_mask"]) == hm["num_kernels"]
+    # full decode leaves the mask untouched
+    _, hf = bs.read_bitstream(path)
+    assert hf["model_mask"] == mm
+
+
+def test_nonlayered_file_rejects_max_layers(tmp_path, toy_rgb):
+    s = _fit_toy(toy_rgb, iters=2)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "flat.smoe")
+    bs.write_bitstream(path, q, s.cfg)
+    with pytest.raises(ValueError, match="layered"):
+        bs.read_bitstream(path, max_layers=1)
