@@ -32,6 +32,9 @@ def main(args=None):
     p.add_argument("--layers", type=int, default=None,
                    help="decode only the first N tiers of a layered "
                         "(SNR-scalable) .smoe bitstream")
+    p.add_argument("--max-bytes", type=int, default=None, dest="max_bytes",
+                   help="decode the largest tier prefix of a layered "
+                        ".smoe that fits this byte budget")
     a = p.parse_args(args)
     roi = None
     if a.roi:
@@ -52,7 +55,8 @@ def main(args=None):
         from smoe_tpu.codec.serve import decode_bitstream
         rec, header = decode_bitstream(a.params_file, return_header=True,
                                        scale=a.scale, roi=roi,
-                                       layers=a.layers)
+                                       layers=a.layers,
+                                       max_bytes=a.max_bytes)
         os.makedirs(a.results_path, exist_ok=True)
         c = int(np.ravel(header.get("dim_of_output", [3]))[0])
         out = write_image(
@@ -62,9 +66,10 @@ def main(args=None):
             precision=int(header.get("precision", 8)))
         print(f"wrote {out}")
         return rec
-    if a.scale or roi or a.layers:
-        raise SystemExit("--scale/--roi/--layers need a .smoe bitstream "
-                         "input (the pickle path rebuilds the trainer grid)")
+    if a.scale or roi or a.layers or a.max_bytes:
+        raise SystemExit("--scale/--roi/--layers/--max-bytes need a .smoe "
+                         "bitstream input (the pickle path rebuilds the "
+                         "trainer grid)")
     with open(a.params_file, "rb") as fd:
         cp = pickle.load(fd)
 

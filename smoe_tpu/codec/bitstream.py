@@ -744,6 +744,46 @@ def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
     return len(payload) * 8
 
 
+def read_header(path: str) -> Dict:
+    """Parse only the container header — no entropy decode, no payload
+    read.  Cheap metadata access for serving decisions (tier table,
+    shapes, flags) on files whose payload may be large or truncated."""
+    with open(path, "rb") as fd:
+        head = fd.read(8)
+        assert head[:4] == MAGIC, "not an SMoE bitstream"
+        hlen = struct.unpack("<I", head[4:8])[0]
+        hraw = fd.read(hlen)
+    if hraw[:1] != b"{":        # zlib-compressed header (files from v3.1+)
+        hraw = zlib.decompress(hraw)
+    return json.loads(hraw.decode("utf-8"))
+
+
+def layers_for_budget(path: str, max_bytes: int) -> int:
+    """Largest tier count m of a layered (v4) file such that the
+    container header plus tiers 1..m fits in max_bytes — the
+    encode-once / serve-any-rate decision a progressive transmission or
+    a byte-budgeted cache makes.  Raises if even the base tier does not
+    fit (an adaptive range-coded tier cannot be partially decoded)."""
+    header = read_header(path)
+    if "layers" not in header:
+        raise ValueError(
+            "max_bytes= needs a layered (v4) bitstream; this file was "
+            "written without layers")
+    per = [int(lh["bytes"]) for lh in header["layers"]]
+    fixed = os.path.getsize(path) - sum(per)
+    if fixed + per[0] > int(max_bytes):
+        raise ValueError(
+            f"byte budget {int(max_bytes)} cannot carry the base tier "
+            f"(header + tier 1 = {fixed + per[0]} bytes)")
+    cum, m = fixed, 0
+    for b in per:
+        if cum + b > int(max_bytes):
+            break
+        cum += b
+        m += 1
+    return m
+
+
 def read_bitstream(path: str, max_layers: Optional[int] = None
                    ) -> Tuple[Dict, Dict]:
     """Read back (qparams dict, header dict).

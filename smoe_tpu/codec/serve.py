@@ -141,7 +141,8 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      roi: Optional[Tuple[Tuple[int, int], ...]] = None,
                      frames: Optional[Tuple[int, int]] = None,
                      views: Optional[Tuple[Tuple[int, int], ...]] = None,
-                     layers: Optional[int] = None):
+                     layers: Optional[int] = None,
+                     max_bytes: Optional[int] = None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
@@ -161,12 +162,17 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     one view: `views=((u,u+1),(v,v+1))`).  `layers=m` decodes only the
     first m tiers of an SNR-scalable layered bitstream
     (bitstream.write_bitstream layers=) — a coarser model from a prefix
-    of the file.  The reference evaluates only the training grid
+    of the file; `max_bytes=n` picks that tier count automatically as
+    the largest prefix (container header + tiers) fitting n bytes.  The
+    reference evaluates only the training grid
     (smoe_reconstruction_decoded.py:16-62).
     """
-    from smoe_tpu.codec.bitstream import read_bitstream
+    from smoe_tpu.codec.bitstream import layers_for_budget, read_bitstream
     from smoe_tpu.codec.quantize import rescaler
 
+    if max_bytes is not None:
+        assert layers is None, "pass layers= or max_bytes=, not both"
+        layers = layers_for_budget(path, max_bytes)
     qp, header = read_bitstream(path, max_layers=layers)
     img_shape = tuple(int(v) for v in np.ravel(header["shape_of_img"]))
     c = int(np.ravel(header.get("dim_of_output", [3]))[0])

@@ -500,3 +500,63 @@ def test_nonlayered_file_rejects_max_layers(tmp_path, toy_rgb):
     bs.write_bitstream(path, q, s.cfg)
     with pytest.raises(ValueError, match="layered"):
         bs.read_bitstream(path, max_layers=1)
+
+
+def test_layers_for_budget(tmp_path, toy_rgb):
+    """max_bytes picks the largest tier prefix whose container header +
+    tiers fit the budget; serving decode under a budget equals the
+    explicit layers= decode; a budget below header+tier1 refuses."""
+    import os
+
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=3,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1],
+                              "use_yuv": s.cfg.use_yuv,
+                              "use_determinant": s.cfg.use_determinant})
+    header = bs.read_header(path)
+    per = [int(lh["bytes"]) for lh in header["layers"]]
+    total = os.path.getsize(path)
+    fixed = total - sum(per)
+    # exact boundaries: budget == header+tiers(1..m) yields m
+    assert bs.layers_for_budget(path, fixed + per[0]) == 1
+    assert bs.layers_for_budget(path, fixed + per[0] + per[1]) == 2
+    assert bs.layers_for_budget(path, fixed + per[0] + per[1] - 1) == 1
+    assert bs.layers_for_budget(path, total) == 3
+    assert bs.layers_for_budget(path, total + 10 ** 6) == 3
+    with pytest.raises(ValueError, match="budget"):
+        bs.layers_for_budget(path, fixed + per[0] - 1)
+
+    from smoe_tpu.codec.serve import decode_bitstream
+    budget = fixed + per[0] + per[1]
+    np.testing.assert_array_equal(
+        decode_bitstream(path, max_bytes=budget),
+        decode_bitstream(path, layers=2))
+
+    flat = str(tmp_path / "flat.smoe")
+    bs.write_bitstream(flat, q, s.cfg,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1]})
+    with pytest.raises(ValueError, match="layered"):
+        bs.layers_for_budget(flat, 10 ** 9)
+
+
+def test_decode_cli_max_bytes(tmp_path, toy_rgb):
+    import os
+
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=2,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1],
+                              "use_yuv": s.cfg.use_yuv,
+                              "use_determinant": s.cfg.use_determinant})
+    from smoe_tpu.cli import decode as decode_cli
+    from smoe_tpu.codec.serve import decode_bitstream
+
+    rec = decode_cli.main(["-p", path, "-r", str(tmp_path / "out"),
+                           "--max-bytes", str(os.path.getsize(path))])
+    np.testing.assert_array_equal(rec, decode_bitstream(path))
