@@ -523,18 +523,32 @@ def rate_breakdown(qparams: Dict, cfg) -> Dict[str, Dict]:
     return out
 
 
-def kernel_importance(qparams: Dict, cfg) -> np.ndarray:
-    """Analytic per-kernel importance from the quantized params alone.
+def kernel_importance(qparams: Dict, cfg, mode: str = "mass",
+                      musX_grid: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-kernel importance from the quantized params alone.
 
-    A kernel's expected share of the total gating mass is proportional
-    to pi_k times the integral of its unnormalized responsibility over
-    the domain: with the determinant normalizer (cfg.use_determinant)
-    that integral is a constant, so importance ~ pi_k; without it the
-    responsibility integrates to (2pi)^{d/2} / |prod diag(A_k)| (A is
-    the inverse-covariance Cholesky factor), so wide kernels weigh
-    more.  Default kernel ordering for layered bitstreams
-    (write_bitstream layers=): most-of-the-image first.
+    mode="mass" (default): each kernel's ACTUAL share of the gating
+    mass, measured by evaluating the decoder's own gating (dequantized
+    params, same maha/floor semantics as core/model.gating) on a coarse
+    uniform grid over [0,1]^d (~64k points).  This is never degenerate:
+    two kernels with equal pi still differ by spatial footprint, so the
+    layered-bitstream tier ordering (write_bitstream layers=) tracks
+    what each kernel contributes to the picture.  Falls back to the
+    analytic mode on any failure.
+
+    mode="analytic": pi_k times the closed-form integral of the
+    unnormalized responsibility — constant with the determinant
+    normalizer (importance ~ pi_k, DEGENERATE when pis quantize equal),
+    (2pi)^{d/2}/|prod diag(A_k)| without it.
+
+    musX_grid: initial grid centers of the used kernels, required for
+    mode="mass" when cfg.use_diff_center (same as codec.quantize.rescaler).
     """
+    if mode == "mass":
+        try:
+            return _gating_mass(qparams, cfg, musX_grid)
+        except Exception:
+            pass
     st = qparams["steps"]
     lo, up = qparams["lower_bounds"], qparams["upper_bounds"]
 
@@ -555,6 +569,66 @@ def kernel_importance(qparams: Dict, cfg) -> np.ndarray:
     return imp
 
 
+def _gating_mass(qparams: Dict, cfg,
+                 musX_grid: Optional[np.ndarray]) -> np.ndarray:
+    """sum_x w_k(x) over a coarse uniform grid of the [0,1]^d domain,
+    with the decode-exact dequantized params (codec.quantize.rescaler)
+    and the model's gating semantics (core/model.py: maha = y^T B y with
+    B = A A^T — or the symmetrized lower-tri when train_inverse_cov —
+    numerator exp(-0.5 maha) [* prod|diag A|/sqrt((2pi)^d)] * pi,
+    denominator floored at 1e-11, reference smoe.py:791-823)."""
+    from smoe_tpu.codec.quantize import rescaler
+
+    rp = rescaler(qparams, cfg, musX_grid=musX_grid)
+    mus = np.asarray(rp["musX"], np.float64)
+    a = np.asarray(rp["A"], np.float64)
+    pis = np.abs(np.asarray(rp["pis"], np.float64).reshape(-1))
+    k, d = mus.shape
+    if getattr(cfg, "train_inverse_cov", False):
+        low = np.tril(a)
+        b = low + np.transpose(np.tril(a, -1), (0, 2, 1))
+    else:
+        low = np.tril(a)
+        b = low @ np.transpose(low, (0, 2, 1))
+    # quadratic-feature form: maha[n,k] = phi(x_n) . q_k  (model.py:12-18)
+    bm = np.einsum("kij,kj->ki", b, mus)
+    q = np.concatenate(
+        [b.reshape(k, d * d), -2.0 * bm,
+         np.einsum("ki,ki->k", mus, bm)[:, None]], axis=1)
+    num_scale = pis.copy()
+    if getattr(cfg, "use_determinant", True):
+        diag = np.abs(np.diagonal(low, axis1=1, axis2=2))
+        num_scale = num_scale * diag.prod(1) / np.sqrt((2 * np.pi) ** d)
+    n_per = max(4, int(round(65536 ** (1.0 / d))))
+    axes = np.linspace(0.0, 1.0, n_per)
+    pts = np.stack(np.meshgrid(*([axes] * d), indexing="ij"),
+                   -1).reshape(-1, d)
+    mass = np.zeros(k)
+    for off in range(0, pts.shape[0], 8192):
+        x = pts[off:off + 8192]
+        phi = np.concatenate(
+            [np.einsum("ni,nj->nij", x, x).reshape(x.shape[0], d * d),
+             x, np.ones((x.shape[0], 1))], axis=1)
+        maha = np.maximum(phi @ q.T, 0.0)
+        num = np.exp(-0.5 * np.minimum(maha, 1400.0)) * num_scale
+        w = num / np.maximum(num.sum(1, keepdims=True), 1e-11)
+        mass += w.sum(0)
+    return mass
+
+
+def _bit_reversed_rank(n: int) -> np.ndarray:
+    """Van der Corput (base-2 radical-inverse) value of each index
+    0..n-1 — a deterministic stratified ordering over the raster."""
+    v = np.zeros(n)
+    idx = np.arange(n, dtype=np.int64)
+    f = 0.5
+    while idx.any():
+        v += (idx & 1) * f
+        idx >>= 1
+        f *= 0.5
+    return v
+
+
 def _layer_rows(k: int, layers, importance: np.ndarray):
     """Partition the k reduced kernels into importance tiers.
 
@@ -572,7 +646,11 @@ def _layer_rows(k: int, layers, importance: np.ndarray):
         if not (all(c > 0 for c in counts) and sum(counts) == k):
             raise ValueError(
                 f"layer counts {counts} must be positive and sum to {k}")
-    order = np.argsort(-np.asarray(importance, np.float64), kind="stable")
+    # Ties break by bit-reversed (van der Corput) rank, not raster order:
+    # equal-importance kernels then stratify across the raster instead of
+    # carving the image into per-tier spatial wedges.
+    order = np.lexsort((_bit_reversed_rank(k),
+                        -np.asarray(importance, np.float64)))
     out, off = [], 0
     for c in counts:
         out.append(np.sort(order[off:off + c]))
@@ -662,6 +740,24 @@ def write_bitstream(path: str, qparams: Dict, cfg,
     return len(payload) * 8
 
 
+def _grid_of_used(qparams: Dict, cfg) -> Optional[np.ndarray]:
+    """Init-grid centers of the used slots (zeros for slots past the
+    grid — inc insertions / video spares carry full centers), as the
+    diff-center rescaler needs.  None when cfg stores full centers.
+    Same convention as codec/serve.decode_bitstream."""
+    if not getattr(cfg, "use_diff_center", False):
+        return None
+    from smoe_tpu.core.init import generate_kernel_grid
+
+    g, _ = generate_kernel_grid(cfg)
+    g = np.asarray(g)
+    idx = np.flatnonzero(np.asarray(qparams["used_kernels"], bool))
+    grid = np.zeros((idx.size, g.shape[1]), np.float64)
+    in_grid = idx < g.shape[0]
+    grid[in_grid] = g[idx[in_grid]]
+    return grid
+
+
 def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
                    importance) -> int:
     """Layered (v4) writer — see write_bitstream(layers=)."""
@@ -681,7 +777,8 @@ def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
                 f"layered bitstreams need per-kernel streams; {n} has "
                 f"{sz} symbols for {k} kernels")
     imp = (np.asarray(importance, np.float64) if importance is not None
-           else kernel_importance(qparams, cfg))
+           else kernel_importance(qparams, cfg,
+                                  musX_grid=_grid_of_used(qparams, cfg)))
     if imp.shape != (k,):
         raise ValueError(f"importance shape {imp.shape} != ({k},)")
     parts = _layer_rows(k, layers, imp)

@@ -502,6 +502,36 @@ def test_nonlayered_file_rejects_max_layers(tmp_path, toy_rgb):
         bs.read_bitstream(path, max_layers=1)
 
 
+def test_mass_importance_nondegenerate(toy_rgb):
+    """The default (gating-mass) importance measures each kernel's real
+    responsibility share: non-degenerate even when every pi quantizes
+    equal (where the analytic mode ties and tiers would fall back to
+    raster wedges), and it sums to ~the sample count (weights sum to 1
+    per point away from the denominator floor)."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    imp = bs.kernel_importance(q, s.cfg)
+    k = int(np.count_nonzero(np.asarray(q["used_kernels"], bool)))
+    assert imp.shape == (k,)
+    assert imp.min() >= 0
+    assert imp.max() > imp.min() * 1.01
+    assert 0 < imp.sum() <= 65536 * 1.001
+    ana = bs.kernel_importance(q, s.cfg, mode="analytic")
+    assert ana.shape == (k,)
+
+
+def test_tie_break_stratifies():
+    """Equal-importance kernels split into bit-reversal strata (each
+    tier spread across the raster), not contiguous raster wedges."""
+    rows = bs._layer_rows(16, 4, np.ones(16))
+    assert sorted(rows[0].tolist()) == [0, 4, 8, 12]
+    assert sorted(np.concatenate(rows).tolist()) == list(range(16))
+    # distinct importances still order strictly by importance
+    imp = np.arange(16, dtype=float)
+    rows = bs._layer_rows(16, 4, imp)
+    assert sorted(rows[0].tolist()) == [12, 13, 14, 15]
+
+
 def test_layers_for_budget(tmp_path, toy_rgb):
     """max_bytes picks the largest tier prefix whose container header +
     tiers fit the budget; serving decode under a budget equals the
