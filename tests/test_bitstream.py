@@ -470,6 +470,31 @@ def test_layered_truncated_transmission(tmp_path, toy_rgb):
             err_msg=f"{name} differs on the truncated file's tier-1")
 
 
+def test_layered_bitflip_isolated_to_its_tier(tmp_path, toy_rgb):
+    """A bit flip inside tier 2's payload kills tier 2+ decodes (per-tier
+    CRC) but leaves tier 1 decodable — corruption is isolated to the
+    damaged tier, unlike a flat file where one flip loses everything."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=3)
+    q1_ref, h = bs.read_bitstream(path, max_layers=1)
+    data = bytearray(open(path, "rb").read())
+    per = [int(lh["bytes"]) for lh in h["layers"]]
+    tier2_mid = len(data) - sum(per) + per[0] + per[1] // 2
+    data[tier2_mid] ^= 0x10
+    bad = str(tmp_path / "bad.smoe")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        bs.read_bitstream(bad)
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        bs.read_bitstream(bad, max_layers=2)
+    q1_bad, _ = bs.read_bitstream(bad, max_layers=1)
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        np.testing.assert_array_equal(
+            np.asarray(q1_ref[name]), np.asarray(q1_bad[name]))
+
+
 def test_layered_model_mask_subset(tmp_path, toy_rgb):
     """Per-kernel extra header fields aligned to reduced rows
     (model_mask, cli/fit) are subset to the surviving rows on a prefix
