@@ -139,6 +139,27 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
     return out
 
 
+def subset_qparams(qparams: Dict, keep) -> Dict:
+    """Restrict a quantized parameter set to a row subset — post-hoc
+    kernel pruning (no reference analog; the RD-prune search in
+    cli/reconstruct --prune rides the layered bitstream's importance
+    ordering).  keep: boolean mask or index array over the REDUCED rows.
+    Bounds/steps are unchanged, so the kept rows' integers decode
+    bit-identically; used_kernels is rewritten to the surviving slots.
+    """
+    keep = np.asarray(keep)
+    rows = np.flatnonzero(keep) if keep.dtype == bool else np.sort(keep)
+    used_slots = np.flatnonzero(np.asarray(qparams["used_kernels"], bool))
+    new_used = np.zeros(np.asarray(qparams["used_kernels"]).size, bool)
+    new_used[used_slots[rows]] = True
+    out = dict(qparams)
+    out["used_kernels"] = new_used
+    for name in ("A_diagonal", "A_corr", "musX", "nu_e", "pis", "gamma_e"):
+        if name in out:
+            out[name] = np.asarray(out[name])[rows]
+    return out
+
+
 def rescaler(qparams: Dict, cfg: SmoeConfig,
              musX_grid: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
     """Dequantize and reassemble (reference quantizer.py:85-145).

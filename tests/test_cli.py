@@ -65,6 +65,68 @@ def test_decode_matches_reconstruct(fitted, tmp_path):
                                err_msg="bitstream decode != encoder recon")
 
 
+def test_prune_reconstruct(fitted, tmp_path):
+    """--prune 0 keeps the smallest mass-ordered kernel prefix whose
+    decoded PSNR ties the best candidate (the full set is always a
+    candidate, so quality never drops); the written bitstream and its
+    decode carry the pruned model."""
+    img_path, res = fitted
+    from smoe_tpu.cli.decode import main as dec_main
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    from smoe_tpu.codec.bitstream import read_bitstream
+
+    base = str(tmp_path / "full")
+    rec_full = rec_main(["-i", img_path, "-p",
+                         os.path.join(res, "params_last.pkl"), "-r", base])
+    k_full = int(np.count_nonzero(np.asarray(read_bitstream(
+        os.path.join(base, "model.smoe"))[0]["used_kernels"], bool)))
+
+    out = str(tmp_path / "pruned")
+    rec_pr = rec_main(["-i", img_path, "-p",
+                       os.path.join(res, "params_last.pkl"), "-r", out,
+                       "--prune", "0"])
+    qp, _ = read_bitstream(os.path.join(out, "model.smoe"))
+    k_pr = int(np.count_nonzero(np.asarray(qp["used_kernels"], bool)))
+    assert 1 <= k_pr <= k_full
+
+    orig = cv2.imread(img_path).astype(np.float64) / 255.0
+    def mse(r):
+        return np.mean((np.asarray(r, np.float64) - orig) ** 2)
+    # tol 0: pruned decode is >= full-model quality by construction
+    assert mse(rec_pr) <= mse(rec_full) + 1e-12
+    # the bitstream decodes the pruned model identically
+    dec = dec_main(["-p", os.path.join(out, "model.smoe"),
+                    "-r", str(tmp_path / "dec")])
+    np.testing.assert_allclose(dec, rec_pr, atol=1e-6)
+
+
+def test_subset_qparams_roundtrip(fitted, tmp_path):
+    """subset_qparams keeps row integers and slot alignment: a subset's
+    decode equals the full decode restricted to the kept kernels'
+    contributions (bounds unchanged; kept rows bit-identical)."""
+    img_path, res = fitted
+    from smoe_tpu.codec.container import load_model
+    from smoe_tpu.codec.quantize import quantize_params, subset_qparams
+    from smoe_tpu.config import SmoeConfig
+
+    cp = load_model(os.path.join(res, "params_last.pkl"))
+    cfg = SmoeConfig(kernels_per_dim=tuple(int(v) for v in
+                                           np.ravel(cp["kernels_per_dim"])))
+    q = quantize_params(cp["params"], cfg)
+    k = int(np.count_nonzero(np.asarray(q["used_kernels"], bool)))
+    keep = np.zeros(k, bool)
+    keep[::2] = True
+    sub = subset_qparams(q, keep)
+    assert int(np.count_nonzero(sub["used_kernels"])) == int(keep.sum())
+    full_slots = np.flatnonzero(np.asarray(q["used_kernels"], bool))
+    np.testing.assert_array_equal(
+        np.flatnonzero(sub["used_kernels"]), full_slots[keep])
+    np.testing.assert_array_equal(np.asarray(sub["pis"]),
+                                  np.asarray(q["pis"])[keep])
+    np.testing.assert_array_equal(np.asarray(sub["musX"]),
+                                  np.asarray(q["musX"])[keep])
+
+
 def test_params_reload_preserves_correlations():
     """Rebuilding a model from a saved params dict must keep the strict-lower
     steering entries (the reference zeroes A_corr_var on reload,
