@@ -15,7 +15,7 @@ import pickle
 import numpy as np
 
 
-def _prune_search(smoe, qeval, tol_db):
+def _prune_search(smoe, tol_db):
     """RD-prune sweep (--prune): evaluate gating-mass-ordered kernel
     prefixes through the real quantized decode and keep the smallest
     prefix within tol_db of the best candidate.  The full set is always
@@ -24,7 +24,7 @@ def _prune_search(smoe, qeval, tol_db):
     quantization (scripts/exp_layers_video.py: +0.47 dB at -26% bits on
     the CIF k=28 fit)."""
     from smoe_tpu.codec.bitstream import kernel_importance
-    from smoe_tpu.codec.quantize import subset_qparams
+    from smoe_tpu.codec.quantize import rescaler, subset_qparams
     from smoe_tpu.core.losses import psnr_from_mse
 
     full = smoe.qparams
@@ -33,18 +33,31 @@ def _prune_search(smoe, qeval, tol_db):
             np.asarray(smoe.musX_grid)[np.asarray(full["used_kernels"])])
     imp = kernel_importance(full, smoe.cfg, musX_grid=grid)
     order = np.argsort(-imp, kind="stable")
+    rank = np.empty(k, np.int64)
+    rank[order] = np.arange(k)
+    # Zeroing a kernel's dequantized pi removes it EXACTLY (numerator
+    # pi*N[*det] = 0, denominator = sum over the others), so every
+    # candidate prefix evaluates through ONE compiled program at the full
+    # row count — no per-candidate recompiles.
+    rp_full = rescaler(full, smoe.cfg, grid)
+    smoe.qparams = full
     cands = sorted({max(1, (k * j) // 16) for j in range(2, 16)} | {k})
     results = []
     for kc in cands:
-        qp = full if kc == k else subset_qparams(full, np.sort(order[:kc]))
-        _, mse, *_ = qeval(qp)
-        results.append((kc, qp, float(psnr_from_mse(mse, smoe.cfg.precision))))
-        print(f"prune sweep: {kc}/{k} kernels -> {results[-1][2]:.2f} dB")
-    best = max(r[2] for r in results)
-    kc, qp, ps = next(r for r in results if r[2] >= best - tol_db)
+        rp = dict(rp_full)
+        rp["pis"] = np.where(rank < kc, rp_full["pis"],
+                             0.0).astype(rp_full["pis"].dtype)
+        smoe.rparams = rp
+        _, mse, *_ = smoe.run_batched(train=False,
+                                      update_reconstruction=False,
+                                      with_quantized_params=True)
+        results.append((kc, float(psnr_from_mse(mse, smoe.cfg.precision))))
+        print(f"prune sweep: {kc}/{k} kernels -> {results[-1][1]:.2f} dB")
+    best = max(r[1] for r in results)
+    kc, ps = next(r for r in results if r[1] >= best - tol_db)
     print(f"prune: keeping {kc}/{k} kernels ({ps:.2f} dB; best candidate "
           f"{best:.2f} dB, tol {tol_db})")
-    return qp
+    return full if kc == k else subset_qparams(full, np.sort(order[:kc]))
 
 
 def main(args=None):
@@ -142,7 +155,7 @@ def main(args=None):
                                     with_quantized_params=True)
 
         if a.prune is not None:
-            smoe.qparams = _prune_search(smoe, qeval, float(a.prune))
+            smoe.qparams = _prune_search(smoe, float(a.prune))
         loss, mse, *_ = qeval(smoe.qparams)
         rec = smoe.get_qreconstruction()
         with open(os.path.join(a.results_path, "qparams.pkl"), "wb") as fd:
