@@ -100,6 +100,23 @@ def test_prune_reconstruct(fitted, tmp_path):
     np.testing.assert_allclose(dec, rec_pr, atol=1e-6)
 
 
+def test_prune_composes_with_layers(fitted, tmp_path):
+    """--prune then --layers: the layered file carries the pruned model
+    (full decode == pruned reconstruction) and tier prefixes decode."""
+    img_path, res = fitted
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    from smoe_tpu.codec.serve import decode_bitstream
+
+    out = str(tmp_path / "pl")
+    rec = rec_main(["-i", img_path, "-p",
+                    os.path.join(res, "params_last.pkl"), "-r", out,
+                    "--prune", "0", "--layers", "2"])
+    lay = os.path.join(out, "model.smoe")
+    np.testing.assert_allclose(decode_bitstream(lay), rec, atol=1e-6)
+    low = decode_bitstream(lay, layers=1)
+    assert low.shape == np.asarray(rec).shape
+
+
 def test_subset_qparams_roundtrip(fitted, tmp_path):
     """subset_qparams keeps row integers and slot alignment: a subset's
     decode equals the full decode restricted to the kept kernels'
