@@ -5,7 +5,11 @@ REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
 Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
-                                  [--lean|--ulean] [--lsinit]
+                                  [--lean|--ulean] [--lsinit] [--prune]
+
+--prune: RD-prune each point at encode (cli/reconstruct --prune 0): keep
+the smallest gating-mass-ordered kernel prefix matching the best decoded
+PSNR — quantization can make the low-mass tail net-negative.
 
 --dp: fit all RD points concurrently via the data-parallel fan-out
 (parallel/sharded.py fit_many, SURVEY §2.2 DP row) — one model per device
@@ -33,11 +37,12 @@ def main():
     from smoe_tpu.io.images import read_image
 
     argv = [a for a in sys.argv[1:]
-            if a not in ("--dp", "--lean", "--ulean", "--lsinit")]
+            if a not in ("--dp", "--lean", "--ulean", "--lsinit", "--prune")]
     use_dp = "--dp" in sys.argv[1:]
     lean = "--lean" in sys.argv[1:]
     ulean = "--ulean" in sys.argv[1:]
     lsinit = "--lsinit" in sys.argv[1:]
+    prune = "--prune" in sys.argv[1:]
     bit_depths = ((8, 10, 8, 10, 6) if ulean else
                   (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
     if argv and not argv[0].isdigit():
@@ -55,6 +60,9 @@ def main():
     def measure(s, pis_l1):
         """Quantize -> entropy-code -> decoded PSNR of s.params."""
         s.qparams = quantize_params(s.get_params(), s.cfg)
+        if prune:
+            from smoe_tpu.cli.reconstruct import _prune_search
+            s.qparams = _prune_search(s, 0.0)
         s.rparams = rescaler(s.qparams, s.cfg)
         _, qmse, npi, _ = s.run_batched(train=False,
                                         update_reconstruction=True,
