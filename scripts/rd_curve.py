@@ -61,8 +61,8 @@ def main():
         """Quantize -> entropy-code -> decoded PSNR of s.params."""
         s.qparams = quantize_params(s.get_params(), s.cfg)
         if prune:
-            from smoe_tpu.cli.reconstruct import _prune_search
-            s.qparams = _prune_search(s, 0.0)
+            from smoe_tpu.codec.prune import prune_search
+            s.qparams = prune_search(s, 0.0)
         s.rparams = rescaler(s.qparams, s.cfg)
         _, qmse, npi, _ = s.run_batched(train=False,
                                         update_reconstruction=True,

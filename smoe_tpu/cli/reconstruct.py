@@ -15,51 +15,6 @@ import pickle
 import numpy as np
 
 
-def _prune_search(smoe, tol_db):
-    """RD-prune sweep (--prune): evaluate gating-mass-ordered kernel
-    prefixes through the real quantized decode and keep the smallest
-    prefix within tol_db of the best candidate.  The full set is always
-    a candidate.  Motivated by the measured layered-ladder result that
-    the least-important kernel quartile can be net-negative after
-    quantization (scripts/exp_layers_video.py: +0.47 dB at -26% bits on
-    the CIF k=28 fit)."""
-    from smoe_tpu.codec.bitstream import kernel_importance
-    from smoe_tpu.codec.quantize import rescaler, subset_qparams
-    from smoe_tpu.core.losses import psnr_from_mse
-
-    full = smoe.qparams
-    k = int(np.count_nonzero(np.asarray(full["used_kernels"], bool)))
-    grid = (None if smoe.musX_grid is None else
-            np.asarray(smoe.musX_grid)[np.asarray(full["used_kernels"])])
-    imp = kernel_importance(full, smoe.cfg, musX_grid=grid)
-    order = np.argsort(-imp, kind="stable")
-    rank = np.empty(k, np.int64)
-    rank[order] = np.arange(k)
-    # Zeroing a kernel's dequantized pi removes it EXACTLY (numerator
-    # pi*N[*det] = 0, denominator = sum over the others), so every
-    # candidate prefix evaluates through ONE compiled program at the full
-    # row count — no per-candidate recompiles.
-    rp_full = rescaler(full, smoe.cfg, grid)
-    smoe.qparams = full
-    cands = sorted({max(1, (k * j) // 16) for j in range(2, 16)} | {k})
-    results = []
-    for kc in cands:
-        rp = dict(rp_full)
-        rp["pis"] = np.where(rank < kc, rp_full["pis"],
-                             0.0).astype(rp_full["pis"].dtype)
-        smoe.rparams = rp
-        _, mse, *_ = smoe.run_batched(train=False,
-                                      update_reconstruction=False,
-                                      with_quantized_params=True)
-        results.append((kc, float(psnr_from_mse(mse, smoe.cfg.precision))))
-        print(f"prune sweep: {kc}/{k} kernels -> {results[-1][1]:.2f} dB")
-    best = max(r[1] for r in results)
-    kc, ps = next(r for r in results if r[1] >= best - tol_db)
-    print(f"prune: keeping {kc}/{k} kernels ({ps:.2f} dB; best candidate "
-          f"{best:.2f} dB, tol {tol_db})")
-    return full if kc == k else subset_qparams(full, np.sort(order[:kc]))
-
-
 def main(args=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--image_path", type=str, required=True)
@@ -155,7 +110,8 @@ def main(args=None):
                                     with_quantized_params=True)
 
         if a.prune is not None:
-            smoe.qparams = _prune_search(smoe, float(a.prune))
+            from smoe_tpu.codec.prune import prune_search
+            smoe.qparams = prune_search(smoe, float(a.prune))
         loss, mse, *_ = qeval(smoe.qparams)
         rec = smoe.get_qreconstruction()
         with open(os.path.join(a.results_path, "qparams.pkl"), "wb") as fd:
