@@ -66,7 +66,8 @@ def main(args=None):
             precision=int(header.get("precision", 8)))
         print(f"wrote {out}")
         return rec
-    if a.scale or roi or a.layers or a.max_bytes:
+    if (a.scale is not None or roi is not None or a.layers is not None
+            or a.max_bytes is not None):
         raise SystemExit("--scale/--roi/--layers/--max-bytes need a .smoe "
                          "bitstream input (the pickle path rebuilds the "
                          "trainer grid)")

@@ -46,13 +46,16 @@ def main(args=None):
                         "(0 = never below the best; the full set is always "
                         "a candidate, so quality never drops below "
                         "full-model minus TOL_DB).  Measured on the CIF "
-                        "k=28 fit: 75% of kernels decode +0.47 dB ABOVE "
+                        "k=28 fit: 75%% of kernels decode +0.47 dB ABOVE "
                         "the full model at -26%% bits")
     a = p.parse_args(args)
     if a.lean_bits:
         a.bit_depths = [10, 12, 8, 10, 8]
     if a.ultra_lean_bits:
         a.bit_depths = [8, 10, 8, 10, 6]
+    if a.prune is not None and not a.quantize:
+        p.error("--prune needs quantization (-q 1): the sweep evaluates "
+                "quantized decodes")
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.container import load_model

@@ -524,7 +524,8 @@ def rate_breakdown(qparams: Dict, cfg) -> Dict[str, Dict]:
 
 
 def kernel_importance(qparams: Dict, cfg, mode: str = "mass",
-                      musX_grid: Optional[np.ndarray] = None) -> np.ndarray:
+                      musX_grid: Optional[np.ndarray] = None,
+                      model_mask: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-kernel importance from the quantized params alone.
 
     mode="mass" (default): each kernel's ACTUAL share of the gating
@@ -543,12 +544,21 @@ def kernel_importance(qparams: Dict, cfg, mode: str = "mass",
 
     musX_grid: initial grid centers of the used kernels, required for
     mode="mass" when cfg.use_diff_center (same as codec.quantize.rescaler).
+    model_mask: (reduced rows,) bool for dual-model video — True rows
+    gate on the motion-transformed domain whose time coordinate is the
+    constant TIME_PLANE (video/motion.py), so their mass is measured on
+    that plane (identity-warp approximation of the spatial coords).
     """
     if mode == "mass":
         try:
-            return _gating_mass(qparams, cfg, musX_grid)
-        except Exception:
-            pass
+            return _gating_mass(qparams, cfg, musX_grid, model_mask)
+        except Exception as e:
+            import warnings
+            warnings.warn(
+                f"kernel_importance: gating-mass mode failed ({e!r}); "
+                "falling back to the analytic pi-based ordering, which "
+                "ties (raster-order tiers) when pis quantize equal",
+                RuntimeWarning)
     st = qparams["steps"]
     lo, up = qparams["lower_bounds"], qparams["upper_bounds"]
 
@@ -570,13 +580,21 @@ def kernel_importance(qparams: Dict, cfg, mode: str = "mass",
 
 
 def _gating_mass(qparams: Dict, cfg,
-                 musX_grid: Optional[np.ndarray]) -> np.ndarray:
+                 musX_grid: Optional[np.ndarray],
+                 model_mask: Optional[np.ndarray] = None) -> np.ndarray:
     """sum_x w_k(x) over a coarse uniform grid of the [0,1]^d domain,
     with the decode-exact dequantized params (codec.quantize.rescaler)
     and the model's gating semantics (core/model.py: maha = y^T B y with
     B = A A^T — or the symmetrized lower-tri when train_inverse_cov —
     numerator exp(-0.5 maha) [* prod|diag A|/sqrt((2pi)^d)] * pi,
-    denominator floored at 1e-11, reference smoe.py:791-823)."""
+    denominator floored at 1e-11, reference smoe.py:791-823).
+
+    Dual-model video (model_mask): True rows gate on the transformed
+    domain, whose time coordinate is the constant TIME_PLANE — their
+    maha is evaluated at sample points with t -> TIME_PLANE (spatial
+    warp approximated by identity; good enough for an ordering), so
+    motion-compensated kernels compete on their own plane instead of
+    underflowing to zero mass against the raw [0,1] time range."""
     from smoe_tpu.codec.quantize import rescaler
 
     rp = rescaler(qparams, cfg, musX_grid=musX_grid)
@@ -603,13 +621,27 @@ def _gating_mass(qparams: Dict, cfg,
     axes = np.linspace(0.0, 1.0, n_per)
     pts = np.stack(np.meshgrid(*([axes] * d), indexing="ij"),
                    -1).reshape(-1, d)
+    mm = None
+    if model_mask is not None and np.any(model_mask):
+        mm = np.asarray(model_mask, bool).reshape(-1)
+        if mm.size != k:
+            raise ValueError(f"model_mask has {mm.size} rows for {k}")
+
+    def _phi(x):
+        return np.concatenate(
+            [np.einsum("ni,nj->nij", x, x).reshape(x.shape[0], d * d),
+             x, np.ones((x.shape[0], 1))], axis=1)
+
     mass = np.zeros(k)
     for off in range(0, pts.shape[0], 8192):
         x = pts[off:off + 8192]
-        phi = np.concatenate(
-            [np.einsum("ni,nj->nij", x, x).reshape(x.shape[0], d * d),
-             x, np.ones((x.shape[0], 1))], axis=1)
-        maha = np.maximum(phi @ q.T, 0.0)
+        maha = _phi(x) @ q.T
+        if mm is not None:
+            from smoe_tpu.video.motion import TIME_PLANE
+            xt = x.copy()
+            xt[:, -1] = TIME_PLANE
+            maha = np.where(mm[None, :], _phi(xt) @ q.T, maha)
+        maha = np.maximum(maha, 0.0)
         num = np.exp(-0.5 * np.minimum(maha, 1400.0)) * num_scale
         w = num / np.maximum(num.sum(1, keepdims=True), 1e-11)
         mass += w.sum(0)
@@ -777,8 +809,10 @@ def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
                 f"layered bitstreams need per-kernel streams; {n} has "
                 f"{sz} symbols for {k} kernels")
     imp = (np.asarray(importance, np.float64) if importance is not None
-           else kernel_importance(qparams, cfg,
-                                  musX_grid=_grid_of_used(qparams, cfg)))
+           else kernel_importance(
+               qparams, cfg, musX_grid=_grid_of_used(qparams, cfg),
+               model_mask=None if extra is None
+               else extra.get("model_mask")))
     if imp.shape != (k,):
         raise ValueError(f"importance shape {imp.shape} != ({k},)")
     parts = _layer_rows(k, layers, imp)
@@ -867,14 +901,23 @@ def layers_for_budget(path: str, max_bytes: int) -> int:
             "max_bytes= needs a layered (v4) bitstream; this file was "
             "written without layers")
     per = [int(lh["bytes"]) for lh in header["layers"]]
-    fixed = os.path.getsize(path) - sum(per)
-    if fixed + per[0] > int(max_bytes):
+    # container prefix = MAGIC(4) + u32 len(4) + header bytes — computed
+    # from the length field, NOT from getsize minus declared tiers, so a
+    # TRUNCATED file (the very case byte-budget serving exists for)
+    # still yields the right prefix size
+    with open(path, "rb") as fd:
+        fixed = 8 + struct.unpack("<I", fd.read(8)[4:8])[0]
+    avail = os.path.getsize(path) - fixed     # payload bytes actually here
+    budget = int(max_bytes) - fixed
+    if per[0] > budget or per[0] > avail:
         raise ValueError(
             f"byte budget {int(max_bytes)} cannot carry the base tier "
-            f"(header + tier 1 = {fixed + per[0]} bytes)")
-    cum, m = fixed, 0
+            f"(header + tier 1 = {fixed + per[0]} bytes"
+            + ("" if per[0] <= avail else "; file truncated inside tier 1")
+            + ")")
+    cum, m = 0, 0
     for b in per:
-        if cum + b > int(max_bytes):
+        if cum + b > budget or cum + b > avail:
             break
         cum += b
         m += 1

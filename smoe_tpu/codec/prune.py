@@ -21,16 +21,25 @@ def prune_search(smoe, tol_db: float):
     candidate, so decoded quality never drops below full-model minus
     tol_db.  smoe.qparams must hold the quantized set (quantize_params).
     """
-    from smoe_tpu.codec.bitstream import kernel_importance
+    from smoe_tpu.codec.bitstream import (_bit_reversed_rank,
+                                          kernel_importance)
     from smoe_tpu.codec.quantize import rescaler, subset_qparams
     from smoe_tpu.core.losses import psnr_from_mse
 
     full = smoe.qparams
-    k = int(np.count_nonzero(np.asarray(full["used_kernels"], bool)))
+    used = np.asarray(full["used_kernels"], bool)
+    k = int(np.count_nonzero(used))
     grid = (None if smoe.musX_grid is None else
-            np.asarray(smoe.musX_grid)[np.asarray(full["used_kernels"])])
-    imp = kernel_importance(full, smoe.cfg, musX_grid=grid)
-    order = np.argsort(-imp, kind="stable")
+            np.asarray(smoe.musX_grid)[used])
+    mm = getattr(smoe, "model_mask", None)
+    if mm is not None:
+        mm = np.asarray(mm, bool)[used]    # same slot indexing as the
+        # dual-model extra in cli/reconstruct (capacity-length mask)
+    imp = kernel_importance(full, smoe.cfg, musX_grid=grid, model_mask=mm)
+    # same stratified tie-break as the layered tiers (_layer_rows):
+    # exact-tie kernels spread across the raster, not a contiguous wedge
+    order = np.lexsort((_bit_reversed_rank(k),
+                        -np.asarray(imp, np.float64)))
     rank = np.empty(k, np.int64)
     rank[order] = np.arange(k)
     # Zeroing a kernel's dequantized pi removes it EXACTLY (numerator

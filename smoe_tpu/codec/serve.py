@@ -197,21 +197,10 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     model_mask = header.get("model_mask")
     if model_mask is not None:
         model_mask = np.asarray(model_mask, bool)
-    grid = None
-    if cfg.use_diff_center:
-        # Grid offsets of the used slots.  Slots beyond the init grid
-        # (inc insertions / video spares) carry their full center in the
-        # coded musX, i.e. their grid offset is 0 — same convention as
-        # the encoder (trainer.py zero-pads musX_grid to capacity) and
-        # the bitstream predictor (bitstream._musx_grid_pred).
-        from smoe_tpu.core.init import generate_kernel_grid
-        g, _ = generate_kernel_grid(cfg)
-        used = np.asarray(qp["used_kernels"], bool)
-        idx = np.flatnonzero(used)
-        grid = np.zeros((idx.size, d), np.float32)
-        in_grid = idx < g.shape[0]
-        grid[in_grid] = g[idx[in_grid]]
-    rp = rescaler(qp, cfg, musX_grid=grid)
+    # diff-center grid offsets of the used slots (None otherwise) — the
+    # shared slots-past-the-grid convention lives in one place
+    from smoe_tpu.codec.bitstream import _grid_of_used
+    rp = rescaler(qp, cfg, musX_grid=_grid_of_used(qp, cfg))
     k = int(np.asarray(rp["pis"]).shape[0])
     cap = _round_up(max(k, 1), 128)
     padded = pad_decoded_params(rp, cap, d, c)

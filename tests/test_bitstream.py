@@ -598,6 +598,61 @@ def test_layers_for_budget(tmp_path, toy_rgb):
         bs.layers_for_budget(flat, 10 ** 9)
 
 
+def test_layers_for_budget_truncated_file(tmp_path, toy_rgb):
+    """On a file cut mid-tier, the budget math must use the header's
+    length field (not filesize minus declared tiers) and cap by the
+    bytes actually present — a big budget then decodes the intact
+    prefix instead of tripping the missing tier's CRC."""
+    s = _fit_toy(toy_rgb)
+    q = quantize_params(s.get_params(), s.cfg)
+    path = str(tmp_path / "lay.smoe")
+    bs.write_bitstream(path, q, s.cfg, layers=3,
+                       extra={"shape_of_img": list(toy_rgb.shape[:-1]),
+                              "dim_of_output": toy_rgb.shape[-1]})
+    _, h = bs.read_bitstream(path, max_layers=1)
+    data = open(path, "rb").read()
+    # drop tier 3 exactly at its boundary: tiers 1-2 intact
+    cut = str(tmp_path / "cut.smoe")
+    open(cut, "wb").write(data[:len(data) - int(h["layers"][2]["bytes"])])
+    assert bs.layers_for_budget(cut, 10 ** 9) == 2
+    from smoe_tpu.codec.serve import decode_bitstream
+    np.testing.assert_array_equal(decode_bitstream(cut, max_bytes=10 ** 9),
+                                  decode_bitstream(path, layers=2))
+    # a cut 2 bytes short of tier 2's end leaves only tier 1 decodable
+    cut2 = str(tmp_path / "cut2.smoe")
+    open(cut2, "wb").write(
+        data[:len(data) - int(h["layers"][2]["bytes"]) - 2])
+    assert bs.layers_for_budget(cut2, 10 ** 9) == 1
+
+
+def test_mass_importance_dual_model_time_plane():
+    """Dual-model video: model-0 kernels gate on the transformed domain
+    whose time coordinate is TIME_PLANE=-5 — without model_mask their
+    raw-grid mass underflows to ~0; with it they compete on their own
+    plane."""
+    from smoe_tpu.codec.quantize import quantize_params as qp_fn
+    from smoe_tpu.config import SmoeConfig
+    from smoe_tpu.video.motion import TIME_PLANE
+
+    cfg = SmoeConfig(dim_domain=3, num_channels=1,
+                     kernels_per_dim=(1, 1, 2), use_determinant=True)
+    k, d = 2, 3
+    A = np.zeros((k, d, d))
+    for i in range(k):
+        np.fill_diagonal(A[i], 5.0)
+    params = {"A_diagonal": A, "A_corr": np.zeros((k, d, d)),
+              "musX": np.array([[0.5, 0.5, TIME_PLANE],
+                                [0.5, 0.5, 0.5]]),
+              "nu_e": np.full((k, 1), 0.5),
+              "gamma_e": np.zeros((k, d, 1)),
+              "pis": np.ones(k)}
+    q = qp_fn(params, cfg)
+    raw = bs.kernel_importance(q, cfg)
+    assert raw[0] < raw[1] * 1e-6          # t=-5 kernel starves on [0,1]^3
+    mm = bs.kernel_importance(q, cfg, model_mask=np.array([True, False]))
+    assert mm[0] > 0.1 * mm[1]             # competes on its own plane
+
+
 def test_decode_cli_max_bytes(tmp_path, toy_rgb):
     import os
 
