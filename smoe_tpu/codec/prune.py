@@ -1,12 +1,21 @@
 """Post-hoc RD kernel pruning (no reference analog).
 
-Quantization can make the least-important kernels net-negative: on the
-CIF k=28 video fit the gating-mass-ordered 81% prefix decodes +0.49 dB
-ABOVE the full model at -20% bits (BASELINE.md, round 3), while a
-converged 2D image fit keeps every kernel (rd_curve.py --prune).  The
-sweep here finds that boundary per model, through the real quantized
-decode.  Exposed as `cli.reconstruct --prune TOL_DB` and
-`scripts/rd_curve.py --prune`.
+Quantization can make the least-important kernels net-negative: on
+reseed-grown video/LF fits a gating-mass-ordered prefix can decode at
+or above the full model at a fraction of the bits (BASELINE.md, round
+3), while a converged 2D image fit keeps every kernel (rd_curve.py
+--prune).  The sweep here finds that boundary per model, through the
+real quantized decode.  Exposed as `cli.reconstruct --prune TOL_DB`
+and `scripts/rd_curve.py --prune`.
+
+Dual-model video fits sweep a second candidate ordering ("msplit":
+transformed-domain kernels pruned first within mass order) because the
+two models' masses are measured on different domains — the raw grid vs
+the t=TIME_PLANE plane under an identity-warp approximation — so their
+scales are not strictly comparable; measured on the CIF k=28 fit the
+split ordering finds a better RD point than interleaved mass (30.78 dB
+@ 81% kernels vs 30.32 @ 87%).  Every candidate is validated through
+the actual decode, so extra orderings can only improve the chosen point.
 """
 
 from __future__ import annotations
@@ -15,7 +24,7 @@ import numpy as np
 
 
 def prune_search(smoe, tol_db: float):
-    """Evaluate gating-mass-ordered kernel prefixes through the real
+    """Evaluate importance-ordered kernel prefixes through the real
     quantized decode and return the qparams of the smallest prefix
     within tol_db of the best candidate.  The full set is always a
     candidate, so decoded quality never drops below full-model minus
@@ -35,13 +44,16 @@ def prune_search(smoe, tol_db: float):
     if mm is not None:
         mm = np.asarray(mm, bool)[used]    # same slot indexing as the
         # dual-model extra in cli/reconstruct (capacity-length mask)
-    imp = kernel_importance(full, smoe.cfg, musX_grid=grid, model_mask=mm)
+    imp = -np.asarray(kernel_importance(full, smoe.cfg, musX_grid=grid,
+                                        model_mask=mm), np.float64)
     # same stratified tie-break as the layered tiers (_layer_rows):
     # exact-tie kernels spread across the raster, not a contiguous wedge
-    order = np.lexsort((_bit_reversed_rank(k),
-                        -np.asarray(imp, np.float64)))
-    rank = np.empty(k, np.int64)
-    rank[order] = np.arange(k)
+    bitrev = _bit_reversed_rank(k)
+    orderings = {"mass": np.lexsort((bitrev, imp))}
+    if mm is not None and mm.any() and not mm.all():
+        # raw-domain kernels first, transformed-domain (True) last —
+        # i.e. pruned first — each model internally mass-ordered
+        orderings["msplit"] = np.lexsort((bitrev, imp, mm))
     # Zeroing a kernel's dequantized pi removes it EXACTLY (numerator
     # pi*N[*det] = 0, denominator = sum over the others), so every
     # candidate prefix evaluates through ONE compiled program at the full
@@ -49,19 +61,29 @@ def prune_search(smoe, tol_db: float):
     rp_full = rescaler(full, smoe.cfg, grid)
     smoe.qparams = full
     cands = sorted({max(1, (k * j) // 16) for j in range(2, 16)} | {k})
-    results = []
-    for kc in cands:
-        rp = dict(rp_full)
-        rp["pis"] = np.where(rank < kc, rp_full["pis"],
-                             0.0).astype(rp_full["pis"].dtype)
-        smoe.rparams = rp
-        _, mse, *_ = smoe.run_batched(train=False,
-                                      update_reconstruction=False,
-                                      with_quantized_params=True)
-        results.append((kc, float(psnr_from_mse(mse, smoe.cfg.precision))))
-        print(f"prune sweep: {kc}/{k} kernels -> {results[-1][1]:.2f} dB")
+    results = []    # (kc, psnr, ordering name)
+    for name, order in orderings.items():
+        rank = np.empty(k, np.int64)
+        rank[order] = np.arange(k)
+        for kc in cands:
+            if kc == k and any(r[0] == k for r in results):
+                continue    # the full set is ordering-independent
+            rp = dict(rp_full)
+            rp["pis"] = np.where(rank < kc, rp_full["pis"],
+                                 0.0).astype(rp_full["pis"].dtype)
+            smoe.rparams = rp
+            _, mse, *_ = smoe.run_batched(train=False,
+                                          update_reconstruction=False,
+                                          with_quantized_params=True)
+            results.append((kc, float(psnr_from_mse(mse,
+                                                    smoe.cfg.precision)),
+                            name))
+            print(f"prune sweep[{name}]: {kc}/{k} kernels -> "
+                  f"{results[-1][1]:.2f} dB")
     best = max(r[1] for r in results)
-    kc, ps = next(r for r in results if r[1] >= best - tol_db)
-    print(f"prune: keeping {kc}/{k} kernels ({ps:.2f} dB; best candidate "
-          f"{best:.2f} dB, tol {tol_db})")
-    return full if kc == k else subset_qparams(full, np.sort(order[:kc]))
+    kc, ps, name = min((r for r in results if r[1] >= best - tol_db),
+                       key=lambda r: r[0])
+    print(f"prune: keeping {kc}/{k} kernels ({ps:.2f} dB via {name}; "
+          f"best candidate {best:.2f} dB, tol {tol_db})")
+    return (full if kc == k else
+            subset_qparams(full, np.sort(orderings[name][:kc])))

@@ -203,3 +203,32 @@ def test_update_kernel_list_uses_motion_probes():
     live_m0 = m0 & (pis > 0)
     # every live motion-plane kernel must be reachable in some block
     assert np.all(lists[:, : s.cfg.start_pis][:, live_m0].any(axis=0))
+
+
+def test_prune_search_dual_model_sweeps_msplit(capsys):
+    """Dual-model fits sweep a second candidate ordering (msplit:
+    transformed-domain kernels pruned first) because the two models'
+    gating masses are measured on different domains; the sweep picks
+    the smallest within-tol candidate across BOTH orderings."""
+    from smoe_tpu.codec.prune import prune_search
+    from smoe_tpu.codec.quantize import quantize_params
+
+    vid, aff = make_video(h=8, w=8, t=3)
+    s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1)
+    s.set_optimizer()
+    for _ in range(5):
+        s.run_batched(train=True)
+    s.reseed_time_slab(0, rng=0)    # populate raw-domain (model-1) rows
+    for _ in range(3):
+        s.run_batched(train=True)
+    s.qparams = quantize_params(s.get_params(), s.cfg)
+    used = np.asarray(s.qparams["used_kernels"], bool)
+    k = int(np.count_nonzero(used))
+    mm_used = np.asarray(s.model_mask, bool)[used]
+    assert mm_used.any() and not mm_used.all()    # both models present
+
+    qp = prune_search(s, 99.0)    # huge tol -> smallest swept prefix
+    out = capsys.readouterr().out
+    assert "prune sweep[mass]" in out
+    assert "prune sweep[msplit]" in out
+    assert int(np.count_nonzero(qp["used_kernels"])) == max(1, k * 2 // 16)
