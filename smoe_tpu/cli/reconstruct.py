@@ -40,22 +40,29 @@ def main(args=None):
                         "prefix decodes to a coarser model "
                         "(cli/decode --layers m)")
     p.add_argument("--prune", type=float, default=None, metavar="TOL_DB",
-                   help="RD-prune at encode: sweep gating-mass-ordered "
-                        "kernel prefixes, keep the smallest whose decoded "
+                   help="RD-prune at encode: sweep importance-ordered "
+                        "kernel prefixes through the real quantized decode "
+                        "(dual-model video fits sweep a model-split "
+                        "ordering too), keep the smallest whose decoded "
                         "PSNR is within TOL_DB of the best candidate "
                         "(0 = never below the best; the full set is always "
                         "a candidate, so quality never drops below "
-                        "full-model minus TOL_DB).  Measured on the CIF "
-                        "k=28 fit: 75%% of kernels decode +0.47 dB ABOVE "
-                        "the full model at -26%% bits")
+                        "full-model minus TOL_DB)")
+    p.add_argument("--prune-bpp", type=float, default=None, metavar="BPP",
+                   help="encoder-side rate control: sweep the same "
+                        "candidates, entropy-encode each for its REAL "
+                        "payload size, and keep the best-PSNR candidate "
+                        "whose coded rate fits the bits-per-pixel budget")
     a = p.parse_args(args)
     if a.lean_bits:
         a.bit_depths = [10, 12, 8, 10, 8]
     if a.ultra_lean_bits:
         a.bit_depths = [8, 10, 8, 10, 6]
-    if a.prune is not None and not a.quantize:
-        p.error("--prune needs quantization (-q 1): the sweep evaluates "
-                "quantized decodes")
+    if a.prune is not None and a.prune_bpp is not None:
+        p.error("--prune and --prune-bpp are mutually exclusive")
+    if (a.prune is not None or a.prune_bpp is not None) and not a.quantize:
+        p.error("--prune/--prune-bpp need quantization (-q 1): the sweep "
+                "evaluates quantized decodes")
 
     from smoe_tpu import Smoe
     from smoe_tpu.codec.container import load_model
@@ -112,9 +119,36 @@ def main(args=None):
                                     update_reconstruction=True,
                                     with_quantized_params=True)
 
-        if a.prune is not None:
+        def build_extra(qp):
+            ex = {"shape_of_img": list(orig.shape[:-1]),
+                  "dim_of_output": orig.shape[-1],
+                  "use_yuv": smoe.cfg.use_yuv,
+                  "use_determinant": smoe.cfg.use_determinant,
+                  "train_gammas": smoe.cfg.train_gammas}
+            if smoe.params.motion is not None:
+                # video: ship the (8-bit fake-quantized) per-frame motion
+                # params and the dual-model domain assignment of the USED
+                # kernels, so .smoe decodes videos without the original
+                from smoe_tpu.core.quant import apply_qat
+                ex["motion"] = np.asarray(
+                    apply_qat(smoe.params, smoe.cfg).motion).tolist()
+                ex["num_params_model"] = int(smoe.cfg.num_params_model)
+                ex["num_frames"] = int(smoe.cfg.num_frames)
+                if smoe.model_mask is not None:
+                    used = np.asarray(qp["used_kernels"], bool)
+                    ex["model_mask"] = np.asarray(
+                        smoe.model_mask)[used].astype(int).tolist()
+            return ex
+
+        if a.prune is not None or a.prune_bpp is not None:
             from smoe_tpu.codec.prune import prune_search
-            smoe.qparams = prune_search(smoe, float(a.prune))
+            if a.prune_bpp is not None:
+                n_pix_b = int(np.prod(orig.shape[:-1]))
+                smoe.qparams = prune_search(
+                    smoe, target_bits=int(a.prune_bpp * n_pix_b),
+                    extra_fn=build_extra)
+            else:
+                smoe.qparams = prune_search(smoe, float(a.prune))
         loss, mse, *_ = qeval(smoe.qparams)
         rec = smoe.get_qreconstruction()
         with open(os.path.join(a.results_path, "qparams.pkl"), "wb") as fd:
@@ -126,27 +160,9 @@ def main(args=None):
         # real entropy-coded bitstream + rate (vs the raw-bits proxy)
         from smoe_tpu.codec.bitstream import write_bitstream
         from smoe_tpu.codec.quantize import rate_bits
-        extra = {"shape_of_img": list(orig.shape[:-1]),
-                 "dim_of_output": orig.shape[-1],
-                 "use_yuv": smoe.cfg.use_yuv,
-                 "use_determinant": smoe.cfg.use_determinant,
-                 "train_gammas": smoe.cfg.train_gammas}
-        if smoe.params.motion is not None:
-            # video: ship the (8-bit fake-quantized) per-frame motion
-            # params and the dual-model domain assignment of the USED
-            # kernels, so .smoe decodes videos without the original
-            from smoe_tpu.core.quant import apply_qat
-            extra["motion"] = np.asarray(
-                apply_qat(smoe.params, smoe.cfg).motion).tolist()
-            extra["num_params_model"] = int(smoe.cfg.num_params_model)
-            extra["num_frames"] = int(smoe.cfg.num_frames)
-            if smoe.model_mask is not None:
-                used = np.asarray(smoe.qparams["used_kernels"], bool)
-                extra["model_mask"] = np.asarray(
-                    smoe.model_mask)[used].astype(int).tolist()
         bits = write_bitstream(
             os.path.join(a.results_path, "model.smoe"), smoe.qparams,
-            smoe.cfg, extra=extra, layers=a.layers)
+            smoe.cfg, extra=build_extra(smoe.qparams), layers=a.layers)
         n_pix = int(np.prod(orig.shape[:-1]))
         print(f"rate: {bits} bits coded "
               f"({rate_bits(smoe.qparams, smoe.cfg)} raw proxy), "

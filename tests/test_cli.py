@@ -117,6 +117,45 @@ def test_prune_composes_with_layers(fitted, tmp_path):
     assert low.shape == np.asarray(rec).shape
 
 
+def test_prune_bpp_rate_control(fitted, tmp_path, capsys):
+    """--prune-bpp: encoder-side rate control — every candidate is
+    entropy-encoded for its REAL payload size and the best-PSNR one
+    under the budget wins; the written file's coded rate fits it."""
+    import re
+
+    img_path, res = fitted
+    from smoe_tpu.cli.decode import main as dec_main
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    from smoe_tpu.codec.bitstream import read_bitstream
+
+    def coded_bits_of(out_dir):
+        txt = capsys.readouterr().out
+        return int(re.search(r"rate: (\d+) bits coded", txt).group(1))
+
+    base = str(tmp_path / "full")
+    rec_main(["-i", img_path, "-p",
+              os.path.join(res, "params_last.pkl"), "-r", base])
+    full_bits = coded_bits_of(base)
+    k_full = int(np.count_nonzero(np.asarray(read_bitstream(
+        os.path.join(base, "model.smoe"))[0]["used_kernels"], bool)))
+
+    orig = cv2.imread(img_path)
+    n_pix = orig.shape[0] * orig.shape[1]
+    budget_bpp = 0.5 * full_bits / n_pix
+    out = str(tmp_path / "rate")
+    rec_pr = rec_main(["-i", img_path, "-p",
+                       os.path.join(res, "params_last.pkl"), "-r", out,
+                       "--prune-bpp", f"{budget_bpp:.6f}"])
+    pr_bits = coded_bits_of(out)
+    assert pr_bits <= int(budget_bpp * n_pix)
+    qp, _ = read_bitstream(os.path.join(out, "model.smoe"))
+    assert int(np.count_nonzero(np.asarray(qp["used_kernels"],
+                                           bool))) < k_full
+    dec = dec_main(["-p", os.path.join(out, "model.smoe"),
+                    "-r", str(tmp_path / "dec")])
+    np.testing.assert_allclose(dec, rec_pr, atol=1e-6)
+
+
 def test_subset_qparams_roundtrip(fitted, tmp_path):
     """subset_qparams keeps row integers and slot alignment: a subset's
     decode equals the full decode restricted to the kept kernels'
