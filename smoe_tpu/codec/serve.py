@@ -58,7 +58,8 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
                  chunk_pixels: Optional[int] = None,
                  motion: Optional[np.ndarray] = None,
                  model_mask: Optional[np.ndarray] = None,
-                 sample_points: Optional[Tuple[np.ndarray, ...]] = None):
+                 sample_points: Optional[Tuple[np.ndarray, ...]] = None,
+                 mesh=None):
     """Compile a decoder for one image/video geometry.
 
     Returns fn(A (K,d,d), musX (K,d), nu_e (K,C), gamma_e (K,d,C),
@@ -73,6 +74,11 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
     sample_points: per-dim 1D coordinate vectors in [0,1] overriding the
     native raster (gen_domain's linspace(0,1,n)) — the ROI/zoom/SR hook;
     the output raster is their outer product and img_shape is ignored.
+    mesh: a one-axis jax.sharding.Mesh for MULTI-CHIP serving — the
+    pixel-chunk axis is shard_map'd over it (params replicated; gating
+    reduces over kernels only, so decode needs NO collectives) and each
+    device lax.maps its chunk share.  Output is bit-identical to the
+    single-device decode (same per-chunk op order).
     """
     d = cfg.dim_domain
     if sample_points is not None:
@@ -91,6 +97,11 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
         chunk_pixels = max(1024, min(n, (8 << 20) // (4 * k_pad)))
         chunk_pixels = _round_up(chunk_pixels, 256)
     n_pad = _round_up(n, chunk_pixels)
+    if mesh is not None:
+        assert len(mesh.axis_names) == 1, \
+            "serving decode shards one pixel-chunk axis"
+        ndev = int(np.prod(mesh.devices.shape))
+        n_pad = _round_up(n_pad, chunk_pixels * ndev)
     coords = np.pad(coords.reshape(-1, d), ((0, n_pad - n), (0, 0)))
     coords = jnp.asarray(coords.reshape(-1, chunk_pixels, d))
     motion_arr = None if motion is None \
@@ -105,14 +116,7 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
         pad = [(0, k_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad) if k_pad > x.shape[0] else x
 
-    @jax.jit
-    def decode(A, musX, nu_e, gamma_e, pis):
-        A, musX, nu_e, gamma_e, pis = (pad_k(jnp.asarray(v, jnp.float32))
-                                       for v in (A, musX, nu_e, gamma_e,
-                                                 pis))
-        mask = pis > 0
-        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
-
+    def eval_chunks(cs, A, musX, nu_e, gamma_e, pis, mask, diag_A):
         def chunk_fn(c_blk):
             c_in, c_raw = c_blk, None
             if motion_arr is not None and d == 3:
@@ -128,7 +132,28 @@ def make_decoder(img_shape: Tuple[int, ...], channels: int,
             res = jnp.clip(res, 0.0, 1.0)
             return fake_quant_unit(res, cfg.precision)
 
-        res = jax.lax.map(chunk_fn, coords)
+        return jax.lax.map(chunk_fn, cs)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from smoe_tpu.parallel.compat import shard_map
+        ax = mesh.axis_names[0]
+        rep = P()
+        eval_all = shard_map(
+            eval_chunks, mesh=mesh,
+            in_specs=(P(ax),) + (rep,) * 7, out_specs=P(ax))
+    else:
+        eval_all = eval_chunks
+
+    @jax.jit
+    def decode(A, musX, nu_e, gamma_e, pis):
+        A, musX, nu_e, gamma_e, pis = (pad_k(jnp.asarray(v, jnp.float32))
+                                       for v in (A, musX, nu_e, gamma_e,
+                                                 pis))
+        mask = pis > 0
+        diag_A = jnp.diagonal(A, axis1=1, axis2=2)
+        res = eval_all(coords, A, musX, nu_e, gamma_e, pis, mask, diag_A)
         return res.reshape(-1, channels)[:n].reshape(img_shape + (channels,))
 
     return decode
@@ -142,7 +167,8 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                      frames: Optional[Tuple[int, int]] = None,
                      views: Optional[Tuple[Tuple[int, int], ...]] = None,
                      layers: Optional[int] = None,
-                     max_bytes: Optional[int] = None):
+                     max_bytes: Optional[int] = None,
+                     mesh=None):
     """One-call serving decode: .smoe file -> image (numpy).
 
     return_header: also return the decoded bitstream header dict (so
@@ -163,7 +189,10 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
     first m tiers of an SNR-scalable layered bitstream
     (bitstream.write_bitstream layers=) — a coarser model from a prefix
     of the file; `max_bytes=n` picks that tier count automatically as
-    the largest prefix (container header + tiers) fitting n bytes.  The
+    the largest prefix (container header + tiers) fitting n bytes.
+    `mesh=` (one-axis jax.sharding.Mesh) serves the decode MULTI-CHIP:
+    pixel chunks shard over the devices, params replicate, no
+    collectives — bit-identical to the single-device decode.  The
     reference evaluates only the training grid
     (smoe_reconstruction_decoded.py:16-62).
     """
@@ -244,7 +273,7 @@ def decode_bitstream(path: str, chunk_pixels: Optional[int] = None,
                 dtype=np.float32))
     dec = make_decoder(out_shape or img_shape, c, cfg, cap, chunk_pixels,
                        motion=motion, model_mask=model_mask,
-                       sample_points=sample_points)
+                       sample_points=sample_points, mesh=mesh)
     rec = np.asarray(dec(padded["A"], padded["musX"], padded["nu_e"],
                          padded["gamma_e"], padded["pis"]))
     return (rec, header) if return_header else rec

@@ -121,6 +121,13 @@ def test_serve_video_with_motion_and_dual_model(tmp_path):
     # (the motion transform needs the TRUE t value per frame)
     rec_f = decode_bitstream(path, frames=(1, 3))
     np.testing.assert_allclose(rec_f, rec[:, :, 1:3], atol=1e-5)
+    # multi-chip serving: motion transform + dual-model routing ride the
+    # sharded chunks unchanged (both are per-pixel, params replicated)
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    rec_m = decode_bitstream(path, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(rec_m), np.asarray(rec))
 
 
 def test_decode_bitstream_diff_center_beyond_grid(tmp_path):
@@ -281,3 +288,28 @@ def test_decode_bitstream_scaled(fitted, tmp_path):
     np.testing.assert_allclose(rec_roi, rec1[8:24, 4:20], atol=1e-5)
     assert decode_bitstream(path, roi=((8, 24), (4, 20)), scale=2.0).shape \
         == (32, 32, img.shape[-1])
+
+
+def test_decode_bitstream_mesh_multichip(fitted, tmp_path):
+    """Multi-chip serving: mesh= shard_maps the pixel-chunk axis over the
+    devices (params replicated, no collectives) — output bit-identical
+    to the single-device decode.  Also exercises a non-dividing chunk
+    count (padding rounds up to chunks x devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    img, s = fitted
+    from smoe_tpu.codec.bitstream import write_bitstream
+    path = str(tmp_path / "m.smoe")
+    write_bitstream(path, s.qparams, s.cfg, extra={
+        "shape_of_img": list(img.shape[:2]),
+        "dim_of_output": [img.shape[-1]],
+        "use_yuv": bool(s.cfg.use_yuv),
+        "use_determinant": bool(s.cfg.use_determinant),
+    })
+    ref = decode_bitstream(path, chunk_pixels=256)
+    for ndev in (8, 3):           # 32x32 = 4 chunks of 256: pads to 8 / 6
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
+        rec = decode_bitstream(path, chunk_pixels=256, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(rec), np.asarray(ref),
+                                      err_msg=f"ndev={ndev}")
