@@ -52,7 +52,9 @@ def main(args=None):
                    help="encoder-side rate control: sweep the same "
                         "candidates, entropy-encode each for its REAL "
                         "payload size, and keep the best-PSNR candidate "
-                        "whose coded rate fits the bits-per-pixel budget")
+                        "whose coded rate fits the bits-per-pixel budget "
+                        "(measured on the flat encode; composing with "
+                        "--layers adds the ~3%% tier overhead on top)")
     a = p.parse_args(args)
     if a.lean_bits:
         a.bit_depths = [10, 12, 8, 10, 8]
