@@ -551,3 +551,32 @@ def test_ulean_bits_preset(fitted, tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(q[name]), np.asarray(smoe.qparams[name]),
                 err_msg=f"bitstream roundtrip mismatch for {name}")
+
+
+def test_info_cli(fitted, tmp_path, capsys):
+    """cli.info prints container metadata (header-only for flat files,
+    tier table for layered ones, per-group bits with --breakdown)."""
+    img_path, res = fitted
+    from smoe_tpu.cli.info import main as info_main
+    from smoe_tpu.cli.reconstruct import main as rec_main
+
+    flat = str(tmp_path / "flat")
+    rec_main(["-i", img_path, "-p",
+              os.path.join(res, "params_last.pkl"), "-r", flat])
+    lay = str(tmp_path / "lay")
+    rec_main(["-i", img_path, "-p",
+              os.path.join(res, "params_last.pkl"), "-r", lay,
+              "--layers", "2"])
+    capsys.readouterr()
+
+    h = info_main([os.path.join(flat, "model.smoe"), "--breakdown"])
+    out = capsys.readouterr().out
+    assert "container      v3" in out
+    assert "payload bits" in out and "bpp" in out
+    assert "breakdown" in out and "musX" in out and "total" in out
+    assert h["num_kernels"] >= 1
+
+    info_main([os.path.join(lay, "model.smoe")])
+    out = capsys.readouterr().out
+    assert "layered" in out
+    assert "tier 1" in out and "tier 2" in out and "cum_bpp" in out
