@@ -5,7 +5,13 @@ REAL entropy-coded rate (codec/bitstream.py) and the decoded PSNR at each
 point. Prints one JSON line per RD point plus a summary line.
 
 Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
-                                  [--lean|--ulean] [--lsinit] [--prune]
+                                  [--lean|--ulean] [--lsinit] [--lsri]
+                                  [--prune]
+
+--lsri: additionally re-run the kernel-mode LS expert solve every 100
+iters (the `-lsri 100` cadence; sequential path only) — the alternating
+closed-form-experts / gradient-gating scheme measured +6.6 dB over pure
+Adam at a fixed kernel budget on the 512² headline (BASELINE round 3).
 
 --prune: RD-prune each point at encode (cli/reconstruct --prune 0): keep
 the smallest gating-mass-ordered kernel prefix matching the best decoded
@@ -37,11 +43,13 @@ def main():
     from smoe_tpu.io.images import read_image
 
     argv = [a for a in sys.argv[1:]
-            if a not in ("--dp", "--lean", "--ulean", "--lsinit", "--prune")]
+            if a not in ("--dp", "--lean", "--ulean", "--lsinit", "--lsri",
+                         "--prune")]
     use_dp = "--dp" in sys.argv[1:]
     lean = "--lean" in sys.argv[1:]
     ulean = "--ulean" in sys.argv[1:]
     lsinit = "--lsinit" in sys.argv[1:]
+    lsri = "--lsri" in sys.argv[1:]
     prune = "--prune" in sys.argv[1:]
     bit_depths = ((8, 10, 8, 10, 6) if ulean else
                   (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
@@ -104,7 +112,7 @@ def main():
             s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
                      precision=precision, bit_depths=bit_depths)
             s.set_optimizer()
-            if lsinit:
+            if lsinit or lsri:
                 s.ls_init_experts(mode="kernel")
             chunk = 100
             done = 0
@@ -113,6 +121,8 @@ def main():
                 s.run_batched_chunk(n, pis_l1=pis_l1)
                 s.update_kernel_list()
                 done += n
+                if lsri and done < iters:
+                    s.ls_init_experts(mode="kernel")
             points.append(measure(s, pis_l1))
 
     print(json.dumps({"metric": "rd_curve", "points": points}))

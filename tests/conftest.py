@@ -23,8 +23,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# Belt and braces: route everything to the CPU backend explicitly
-# (covers an interpreter where the plugin was already registered).
+# The env vars above are NOT enough when sitecustomize already imported
+# jax (the axon boot path does, latching jax_platforms='axon' from the
+# interactive env before this file runs): jax.devices() then still
+# returns the real TPU, and any test building a Mesh / using an explicit
+# device rides the single-tenant tunnel — observed as a 1-ulp
+# TPU-matmul-precision flake in the serve parity tests.  Forcing the
+# CONFIG (not just the env) restricts backend selection to CPU even in
+# an interpreter where the plugin was registered at startup.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", "cpu")
 
 import numpy as np  # noqa: E402
