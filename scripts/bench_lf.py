@@ -111,7 +111,7 @@ def main():
     if args.ulean:
         argv += ["-ulean", "1"]
     if args.lsinit:
-        argv += ["-lsinit", "kernel"]
+        argv += ["-lsinit", "kernel", "-nuanchor", "1"]
     smoe = fit_main(argv)
     fit_s = time.time() - t0
 

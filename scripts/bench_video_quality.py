@@ -108,7 +108,8 @@ def main():
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
       + (["-b", str(args.blocks)] if args.blocks else [])
       + (["-pg", str(args.pg)] if args.pg else [])
-      + (["-lsinit", "kernel"] if args.lsinit else []))
+      + (["-lsinit", "kernel", "-nuanchor", "1"] if args.lsinit
+         else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's

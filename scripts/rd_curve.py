@@ -94,7 +94,8 @@ def main():
         from smoe_tpu.parallel.sharded import fit_many
 
         s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
-                 precision=precision, bit_depths=bit_depths)
+                 precision=precision, bit_depths=bit_depths,
+                 nu_anchor=lsinit)
         devs = jax.devices()
         mesh = Mesh(np.asarray(devs[:len(pis_vals)]), ("m",)) \
             if len(devs) >= len(pis_vals) else None
@@ -110,7 +111,8 @@ def main():
     else:
         for pis_l1 in pis_vals:
             s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
-                     precision=precision, bit_depths=bit_depths)
+                     precision=precision, bit_depths=bit_depths,
+                     nu_anchor=lsinit or lsri)
             s.set_optimizer()
             if lsinit or lsri:
                 s.ls_init_experts(mode="kernel")

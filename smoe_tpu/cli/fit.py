@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "iterations; bounds unlisted-kernel drift at one sweep "
                    "(measured: the drift costs >10 dB decoded PSNR on the "
                    "CIF video recipe at ukl=500)")
+    p.add_argument("-nuanchor", "--nu_anchor", type=str2bool, default=False,
+                   help="code nu at the decoded kernel CENTER instead of "
+                        "the origin (codec-side reparameterization, "
+                        "decode-exact; config.nu_anchor).  Use with "
+                        "-lsinit/-lsri fits, whose honest steep slopes "
+                        "otherwise stretch the data-derived nu bounds")
     p.add_argument("--no_canonicalize", action="store_true",
                    help="preserve trained steering signs in the codec "
                    "(reference behavior; default canonicalizes columns to "
@@ -227,6 +233,7 @@ def main(args=None):
         in_graph_ukl=args.in_graph_ukl,
         probe_grid=args.probe_grid,
         canonicalize_steering=not args.no_canonicalize,
+        nu_anchor=args.nu_anchor,
     )
     smoe.set_optimizer()
 
@@ -350,7 +357,8 @@ def main(args=None):
     quant = args.quantization_mode != 0
     if quant and smoe.qparams is None:
         from smoe_tpu.codec.quantize import quantize_params
-        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
+        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg,
+                                       musX_grid=smoe.musX_grid)
     # process 0 owns all persisted artifacts (multihost.py docstring)
     # GLOBAL best (same snapshot the model_best.smoe bitstream ships —
     # the per-phase get_best_params only covers the final train() call)

@@ -34,6 +34,11 @@ def main(args=None):
                    help="quantize/code with the ultra-lean allocation "
                         "A8/mu10/nu8/pi10/g6 (the measured per-group "
                         "transparency knee; see cli/fit.py -ulean)")
+    p.add_argument("-nuanchor", "--nu_anchor", type=lambda v: v.lower()
+                   in ("1", "true", "yes"), default=False,
+                   help="re-code nu at the decoded kernel CENTER (see "
+                        "cli/fit.py -nuanchor; decode-exact, old files "
+                        "unaffected)")
     p.add_argument("-layers", "--layers", type=int, default=None,
                    help="write an SNR-scalable LAYERED bitstream with N "
                         "importance-ordered kernel tiers — any tier "
@@ -89,7 +94,8 @@ def main(args=None):
                                np.asarray(params["A_diagonal"]).ndim == 1)),
         quantize_pis=bool(cp.get("quantized_pis", False)),
         precision=precision, bit_depths=tuple(a.bit_depths),
-        quantization_mode=int(cp.get("quantization_mode", 0)))
+        quantization_mode=int(cp.get("quantization_mode", 0)),
+        nu_anchor=a.nu_anchor)
     if cp.get("lower_bounds") is not None:
         cfg_kw["lower_bounds"] = tuple(cp["lower_bounds"])
     if cp.get("upper_bounds") is not None:
@@ -107,7 +113,8 @@ def main(args=None):
 
     os.makedirs(a.results_path, exist_ok=True)
     if a.quantize:
-        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg)
+        smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg,
+                                       musX_grid=smoe.musX_grid)
 
         def grid_of(qp):
             return (None if smoe.musX_grid is None else

@@ -733,6 +733,7 @@ def write_bitstream(path: str, qparams: Dict, cfg,
         "dim_domain": cfg.dim_domain,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
+        "nu_anchor": bool(qparams.get("nu_anchor", False)),
         "train_inverse_cov": bool(cfg.train_inverse_cov),
         "kernels_per_dim": list(cfg.kernels_per_dim),
         "precision": cfg.precision,
@@ -846,6 +847,7 @@ def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
         "dim_domain": cfg.dim_domain,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
+        "nu_anchor": bool(qparams.get("nu_anchor", False)),
         "train_inverse_cov": bool(cfg.train_inverse_cov),
         "kernels_per_dim": list(cfg.kernels_per_dim),
         "precision": cfg.precision,
@@ -993,6 +995,8 @@ def read_bitstream(path: str, max_layers: Optional[int] = None
             np.asarray(header["used_kernels"], np.uint8),
             count=header["num_slots"]).astype(bool),
     }
+    if header.get("nu_anchor"):
+        qparams["nu_anchor"] = True     # rescaler inverts the center anchor
     off = 0
     mus_nbr = None
     for name in order:
@@ -1150,6 +1154,8 @@ def _read_layered(header: Dict, payload: bytes,
         "upper_bounds": upper,
         "used_kernels": used_dec,
     }
+    if header.get("nu_anchor"):
+        qparams["nu_anchor"] = True     # rescaler inverts the center anchor
     header_out = dict(header)
     header_out["shapes"] = dict(shapes)
     header_out["layers_decoded"] = m

@@ -66,12 +66,17 @@ def canonicalize_steering(params: Dict[str, np.ndarray], cfg: SmoeConfig
     return p
 
 
-def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
+def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
+                    musX_grid: Optional[np.ndarray] = None
                     ) -> Dict[str, np.ndarray]:
     """Uniform scalar quantization of the reduced parameter set.
 
     params: dict with pis/musX/A_diagonal/A_corr/nu_e/gamma_e (full capacity;
     reduced internally).  Matches reference quantizer.quantize_params.
+
+    musX_grid: full-capacity init-grid centers — required only for
+    cfg.nu_anchor + cfg.use_diff_center (the anchor needs the decoder's
+    ABSOLUTE centers; rescaler takes the same grid).
     """
     params, used = reduce_params(dict(params))
     if cfg.canonicalize_steering:
@@ -121,17 +126,44 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig
     def q(x, lb, ub, step):
         return np.round((x - lb) / (ub - lb + RANGE_EPS) * step)
 
+    def deq(v, lb, ub, step):
+        return v / step * (ub - lb) + lb
+
+    nu_val = params["nu_e"]
+    q_mu = q(params["musX"], lb_mu, ub_mu, steps["musX"])
+    q_g = q(params["gamma_e"], lb_g, ub_g, steps["gamma_e"])
+    anchored = bool(cfg.nu_anchor and cfg.train_gammas and qm != 2)
+    if anchored:
+        # center-anchored offset coding (see config.nu_anchor): code the
+        # expert value AT the decoded center, nu' = nu + gamma_q . mu_q,
+        # using the DEQUANTIZED gamma/musX so the decoder's subtraction
+        # (rescaler) inverts it exactly.  Tightens the data-derived nu
+        # bounds when LS-fitted slopes make origin-nu an extrapolation
+        # artifact.  Needs the absolute centers under use_diff_center.
+        r_mu = deq(q_mu, lb_mu, ub_mu, steps["musX"])
+        if cfg.use_diff_center:
+            if musX_grid is None:
+                raise ValueError(
+                    "nu_anchor with use_diff_center needs musX_grid "
+                    "(the decoder anchors at grid + decoded diff)")
+            r_mu = r_mu + np.asarray(musX_grid, np.float64)[used]
+        r_g = deq(q_g, lb_g, ub_g, steps["gamma_e"])
+        nu_val = params["nu_e"] + np.einsum("kd,kdc->kc", r_mu, r_g)
+        lb_nu, ub_nu = data_bounds(nu_val)
+
     lower = {"A_diagonal": lb_Ad, "musX": lb_mu, "nu_e": lb_nu,
              "pis": lb_pi, "gamma_e": lb_g}
     upper = {"A_diagonal": ub_Ad, "musX": ub_mu, "nu_e": ub_nu,
              "pis": ub_pi, "gamma_e": ub_g}
     out = {"lower_bounds": lower, "upper_bounds": upper, "steps": steps,
            "A_diagonal": q(params["A_diagonal"], lb_Ad, ub_Ad, steps["A"]),
-           "musX": q(params["musX"], lb_mu, ub_mu, steps["musX"]),
-           "nu_e": q(params["nu_e"], lb_nu, ub_nu, steps["nu_e"]),
+           "musX": q_mu,
+           "nu_e": q(nu_val, lb_nu, ub_nu, steps["nu_e"]),
            "pis": q(params["pis"], lb_pi, ub_pi, steps["pis"]),
-           "gamma_e": q(params["gamma_e"], lb_g, ub_g, steps["gamma_e"]),
+           "gamma_e": q_g,
            "used_kernels": used}
+    if anchored:
+        out["nu_anchor"] = True
     if not radial:
         lower["A_corr"] = lb_Ac
         upper["A_corr"] = ub_Ac
@@ -191,6 +223,14 @@ def rescaler(qparams: Dict, cfg: SmoeConfig,
     if cfg.use_diff_center:
         assert musX_grid is not None, "use_diff_center needs the grid centers"
         rmusX = rmusX + musX_grid
+
+    if qparams.get("nu_anchor", False):
+        # invert the center-anchored offset coding (config.nu_anchor):
+        # the coded value is the expert surface AT the decoded center, so
+        # nu = nu' - gamma_q . mu_q with the decoder's own dequantized
+        # gamma/musX (deterministic — decode stays exactly reproducible)
+        rnu = rnu - np.einsum("kd,kdc->kc", np.asarray(rmusX, np.float64),
+                              np.asarray(rg, np.float64))
 
     return {"A": rA.astype(np.float32), "musX": rmusX.astype(np.float32),
             "nu_e": rnu.astype(np.float32), "pis": rpis.astype(np.float32),

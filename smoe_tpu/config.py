@@ -53,6 +53,18 @@ class SmoeConfig:
     # catastrophically (measured: CIF video decode 14.0 -> 24.4 dB, 278 of
     # 1280 kernels affected; 256^2 image 20.9 -> 27.2 dB from ONE kernel).
     canonicalize_steering: bool = True
+    # Center-anchored expert-offset coding (beyond reference): code
+    # nu' = nu + gamma_q . mu_q — the expert surface's value AT the
+    # decoded kernel center (naturally in ~[0,1]) instead of its
+    # extrapolation to the origin (reference gamma^T x + nu,
+    # smoe.py:845).  The decoder inverts exactly from its own
+    # dequantized gamma/musX.  Matters for LS-initialized fits, whose
+    # honest steep slopes push origin-nu to +-5 and stretch the
+    # data-derived 6-bit nu bounds (codec/quantize.py; measured in
+    # scripts/exp_lsri_quant.py).  Off by default: parity mode codes nu
+    # exactly like reference quantizer.py.  Ignored under QM2 (fixed
+    # user bounds refer to origin-nu).
+    nu_anchor: bool = False
     lower_bounds: Tuple[float, ...] = (-2500.0, -0.3, -5.0, 0.0, -32.0)
     upper_bounds: Tuple[float, ...] = (2500.0, 1.3, 5.0, 2.0, 32.0)
 

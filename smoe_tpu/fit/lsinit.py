@@ -131,59 +131,155 @@ def _accumulate(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     return G, bvec
 
 
-@partial(jax.jit, static_argnames=("cfg", "ridge"))
-def _solve_kernel(G, bvec, nu0, gam0, cfg: SmoeConfig, ridge: float):
-    """Per-kernel ridge solves; kernels without mass keep (nu0, gam0)."""
+@partial(jax.jit, static_argnames=("cfg", "ridge", "damp"))
+def _solve_kernel(G, bvec, nu0, gam0, cfg: SmoeConfig, ridge: float,
+                  damp: float):
+    """Per-kernel damped solves in the DELTA domain; kernels without mass
+    keep (nu0, gam0).
+
+    The solve is x = x0 + (G + Lam)^-1 (b - G x0) — a Levenberg-style
+    step around the current experts, with the damping on the SLOPE
+    entries only: Lam = diag(eps_nu, lam_g, ..., lam_g), lam_g = damp x
+    the median live kernel mass.  Rationale: the affine expert anchors
+    at the global origin (reference gamma^T x + nu, smoe.py:845), so
+    nu is the surface extrapolated to x=0 — far outside most kernels'
+    support — and any ill-constrained slope direction multiplies into an
+    extreme nu.  Bounding the slope step bounds nu too (|nu| <=
+    |surface@support| + |g|*sqrt(d)), while kernels whose pixels
+    genuinely constrain a steep edge (slope-Gram eigenvalue >> lam_g)
+    keep their full LS slopes.  NOTE: measured on the RD study, damping
+    is the WRONG tool for quantizer-range protection (default damp=0) —
+    the range stretch is the origin-anchored nu parameterization itself,
+    fixed losslessly at the codec by config.nu_anchor; damping only
+    costs float quality (scripts/exp_lsri_quant.py).  Kept for
+    robustness experiments."""
     k, p, _ = G.shape
     c = bvec.shape[-1]
     mass = G[:, 0, 0]                                          # sum_n w[n,k]
     tr = jnp.trace(G, axis1=1, axis2=2) / p
-    reg = (ridge * tr + _MASS_EPS)[:, None, None] * jnp.eye(p)[None]
+
+    if damp == 0.0:
+        # pure LS (x0-independent up to the tiny ridge, biased toward 0
+        # like classic ridge — keeps mask-exclusion exactness: corrupted
+        # pixels outside the loss/train mask cannot leak in via x0)
+        reg = (ridge * tr + _MASS_EPS)[:, None, None] * jnp.eye(p)[None]
+        if cfg.train_gammas:
+            x = jnp.linalg.solve(G + reg, bvec)                # (K, p, C)
+        else:
+            x = jnp.zeros((k, p, c), jnp.float32).at[:, 0, :].set(
+                bvec[:, 0, :] / jnp.maximum(mass, _MASS_EPS)[:, None])
+        if cfg.train_gammas and cfg.only_y_gamma and cfg.use_yuv and c == 3:
+            # slopes only on Y (core/model.py expert_regression
+            # chan_mask); U/V get the weighted-mean offset
+            nu_uv = bvec[:, 0, 1:] / jnp.maximum(mass, _MASS_EPS)[:, None]
+            x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(nu_uv)
+        ok = mass > _MASS_EPS
+        nu = jnp.where(ok[:, None], x[:, 0, :], nu0)
+        gam = jnp.where(ok[:, None, None], x[:, 1:, :], gam0)
+        return nu, gam
+
+    # scale-correct damping: relative to the typical kernel's SLOPE-block
+    # curvature (median live trace of G[1:,1:]), not its mass — slope
+    # eigenvalues scale as mass*support^2, so a mass-based lam over-damps
+    # exactly when kernels are small (fine grids)
+    tr_g = jnp.trace(G[:, 1:, 1:], axis1=1, axis2=2) / (p - 1)
+    med = jnp.nanmedian(jnp.where(mass > _MASS_EPS, tr_g, jnp.nan))
+    med = jnp.where(jnp.isnan(med), 0.0, med)
+    lam_g = ridge * tr + damp * med + _MASS_EPS                # (K,)
+    lam_nu = ridge * tr + _MASS_EPS
+    lam_d = jnp.concatenate([lam_nu[:, None],
+                             jnp.broadcast_to(lam_g[:, None], (k, p - 1))],
+                            axis=1)                            # (K, p)
+    x0 = jnp.concatenate([nu0[:, None, :], gam0], axis=1)      # (K, p, C)
 
     if cfg.train_gammas:
-        x = jnp.linalg.solve(G + reg, bvec)                    # (K, p, C)
+        rhs = bvec - jnp.einsum("kpq,kqc->kpc", G, x0, precision=_EXACT)
+        reg = lam_d[:, :, None] * jnp.eye(p)[None]
+        x = x0 + jnp.linalg.solve(G + reg, rhs)                # (K, p, C)
     else:
-        x = jnp.zeros((k, p, c), jnp.float32).at[:, 0, :].set(
-            bvec[:, 0, :] / jnp.maximum(mass, _MASS_EPS)[:, None])
+        dnu = (bvec[:, 0, :] - mass[:, None] * nu0) \
+            / (mass + lam_nu)[:, None]
+        x = jnp.zeros((k, p, c), jnp.float32).at[:, 0, :].set(nu0 + dnu)
     if cfg.train_gammas and cfg.only_y_gamma and cfg.use_yuv and c == 3:
         # slopes only on Y (core/model.py expert_regression chan_mask);
-        # U/V get the weighted-mean offset
-        nu_uv = bvec[:, 0, 1:] / jnp.maximum(mass, _MASS_EPS)[:, None]
-        x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(nu_uv)
+        # U/V get the damped weighted-mean offset (their x0 slopes are 0)
+        dnu_uv = (bvec[:, 0, 1:] - mass[:, None] * nu0[:, 1:]) \
+            / (mass + lam_nu)[:, None]
+        x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(nu0[:, 1:] + dnu_uv)
     ok = mass > _MASS_EPS
     nu = jnp.where(ok[:, None], x[:, 0, :], nu0)
     gam = jnp.where(ok[:, None, None], x[:, 1:, :], gam0)
     return nu, gam
 
 
-@partial(jax.jit, static_argnames=("cfg", "ridge"))
-def _solve_coupled(G, bvec, nu0, gam0, cfg: SmoeConfig, ridge: float):
-    """One joint ridge solve over all kernels (exact joint minimizer)."""
+@partial(jax.jit, static_argnames=("cfg", "ridge", "damp"))
+def _solve_coupled(G, bvec, nu0, gam0, cfg: SmoeConfig, ridge: float,
+                   damp: float):
+    """One joint damped solve over all kernels, in the DELTA domain
+    around (nu0, gam0), damping the SLOPE entries only — see
+    _solve_kernel for the rationale (slope steps bound the
+    origin-anchored nu; barely-gated kernels stay near x0, protecting
+    the data-derived quantizer bounds)."""
     k = nu0.shape[0]
     c = bvec.shape[-1]
     p = G.shape[0] // k
-    mass = jnp.diagonal(G).reshape(k, p)[:, 0]
+    diag_kp = jnp.diagonal(G).reshape(k, p)
+    mass = diag_kp[:, 0]
     ok = mass > _MASS_EPS
     # dead rows: unit diagonal, zero rhs, original params restored after
     okp = jnp.repeat(ok, p)
     diag_fix = jnp.where(okp, 0.0, 1.0)
     n_live = jnp.maximum(jnp.sum(okp.astype(jnp.float32)), 1.0)
     scale = jnp.sum(jnp.where(okp, jnp.diagonal(G), 0.0)) / n_live
-    Gr = G + jnp.diag(diag_fix + ridge * jnp.maximum(scale, _MASS_EPS)
-                      + _MASS_EPS)
+    lam_nu = ridge * jnp.maximum(scale, _MASS_EPS) + _MASS_EPS
+
+    if damp == 0.0:
+        # pure joint LS (x0-independent up to the tiny ridge — see
+        # _solve_kernel's damp==0 branch for why that matters)
+        Gr = G + jnp.diag(diag_fix + lam_nu)
+        if cfg.train_gammas:
+            x = jnp.linalg.solve(Gr, bvec).reshape(k, p, c)
+        else:
+            idx = jnp.arange(k) * p                            # nu columns
+            Gn = Gr[idx][:, idx]
+            x = jnp.zeros((k, p, c), jnp.float32).at[:, 0, :].set(
+                jnp.linalg.solve(Gn, bvec[idx]))
+        if cfg.train_gammas and cfg.only_y_gamma and cfg.use_yuv and c == 3:
+            idx = jnp.arange(k) * p
+            Gn = Gr[idx][:, idx]
+            nu_uv = jnp.linalg.solve(Gn, bvec[idx][:, 1:])
+            x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(nu_uv)
+        nu = jnp.where(ok[:, None], x[:, 0, :], nu0)
+        gam = jnp.where(ok[:, None, None], x[:, 1:, :], gam0)
+        return nu, gam
+
+    # median live slope-block diagonal (see _solve_kernel: scale-correct)
+    tr_g = jnp.mean(diag_kp[:, 1:], axis=1)
+    med = jnp.nanmedian(jnp.where(ok, tr_g, jnp.nan))
+    med = jnp.where(jnp.isnan(med), 0.0, med)
+    lam_g = lam_nu + damp * med
+    is_nu = (jnp.arange(k * p) % p) == 0
+    lam = jnp.where(is_nu, lam_nu, lam_g)
+    Gr = G + jnp.diag(diag_fix + lam)
+    x0 = jnp.concatenate([nu0[:, None, :], gam0], axis=1)      # (K, p, C)
+    x0f = x0.reshape(k * p, c)
 
     if cfg.train_gammas:
-        x = jnp.linalg.solve(Gr, bvec).reshape(k, p, c)
+        rhs = bvec - jnp.dot(G, x0f, precision=_EXACT)
+        x = (x0f + jnp.linalg.solve(Gr, rhs)).reshape(k, p, c)
     else:
         idx = jnp.arange(k) * p                                # nu columns
         Gn = Gr[idx][:, idx]
+        rhs = bvec[idx] - jnp.dot(G[idx][:, idx], nu0, precision=_EXACT)
         x = jnp.zeros((k, p, c), jnp.float32).at[:, 0, :].set(
-            jnp.linalg.solve(Gn, bvec[idx]))
+            nu0 + jnp.linalg.solve(Gn, rhs))
     if cfg.train_gammas and cfg.only_y_gamma and cfg.use_yuv and c == 3:
         idx = jnp.arange(k) * p
         Gn = Gr[idx][:, idx]
-        nu_uv = jnp.linalg.solve(Gn, bvec[idx][:, 1:])
-        x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(nu_uv)
+        rhs_uv = bvec[idx][:, 1:] - jnp.dot(G[idx][:, idx], nu0[:, 1:],
+                                            precision=_EXACT)
+        x = x.at[:, 1:, 1:].set(0.0).at[:, 0, 1:].set(
+            nu0[:, 1:] + jnp.linalg.solve(Gn, rhs_uv))
     nu = jnp.where(ok[:, None], x[:, 0, :], nu0)
     gam = jnp.where(ok[:, None, None], x[:, 1:, :], gam0)
     return nu, gam
@@ -223,16 +319,34 @@ def _line_search_t(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     (uu, ru), _ = jax.lax.scan(block, (jnp.float32(0), jnp.float32(0)),
                                (coords_all, targets_all, klists, tm,
                                 loss_w))
-    return jnp.where(uu > 0, -ru / jnp.maximum(uu, 1e-30), 0.0)
+    # clamp to [0, 1]: t=0 keeps the guarantee (never regress), t<=1 keeps
+    # the per-kernel damping meaningful — an unclamped global t re-scales
+    # EVERY kernel's step, so junk kernels (heavily damped, needing t>>1
+    # to reach their LS target) drag t above 1 and well-gated kernels
+    # overshoot BEYOND their LS solution; repeated refreshes then ratchet
+    # params to extremes (measured: t drifts -0.29 -> 1.07 over 5
+    # refreshes at damp=1e-2 and nu blows up to +-80, qpsnr 12.7 dB —
+    # scripts/exp_lsri_quant.py).  MSE(clip(t*)) <= MSE(0) still holds
+    # (quadratic in t, 0 in the set).
+    t = jnp.where(uu > 0, -ru / jnp.maximum(uu, 1e-30), 0.0)
+    return jnp.clip(t, 0.0, 1.0)
 
 
 def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
                        coupled_max_cols: int = 4096,
-                       use_loss_mask: bool = True) -> float:
+                       use_loss_mask: bool = True,
+                       damp: float = 0.0) -> float:
     """Replace (nu_e, gamma_e) with their least-squares fit under the
     current gating.  Returns the gated pixel mass (diagnostic).
 
     mode: 'kernel' | 'coupled' | 'auto' (coupled when K*(1+d) fits).
+    damp: optional Levenberg-style damping toward the CURRENT experts
+    (fraction of the median live slope curvature).  Default 0: the
+    measured fix for LS solutions stretching the data-derived quantizer
+    bounds is codec-side center-anchored nu coding (config.nu_anchor)
+    plus the [0,1] line-search clamp below — damping additionally costs
+    float quality (38.1 -> 34.4 dB on the RD study at damp=1e-2) for no
+    extra codec protection (scripts/exp_lsri_quant.py).
     When the Smoe carries a loss mask (inpainting/denoise workloads) the
     solve weights rows by it, like the masked training loss — disable
     via use_loss_mask=False.
@@ -265,7 +379,7 @@ def ls_refresh_experts(smoe, mode: str = "auto", ridge: float = 1e-6,
                           lw, smoe.model_mask, coupled)
     solve = _solve_coupled if coupled else _solve_kernel
     nu0, gam0 = smoe.params.nu_e, smoe.params.gamma_e
-    nu, gam = solve(G, bvec, nu0, gam0, cfg, float(ridge))
+    nu, gam = solve(G, bvec, nu0, gam0, cfg, float(ridge), float(damp))
     if not coupled:
         # M-step as a direction + exact line search on the blend MSE
         # (see module docstring): never regresses vs the sample init.

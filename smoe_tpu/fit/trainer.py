@@ -1302,7 +1302,8 @@ class Smoe:
         from smoe_tpu.codec.quantize import quantize_params, rescaler
 
         def quantize_now():
-            self.qparams = quantize_params(self.get_params(), self.cfg)
+            self.qparams = quantize_params(self.get_params(), self.cfg,
+                                           musX_grid=self.musX_grid)
             return self.qparams
 
         if self.cfg.quantization_mode >= 1:
@@ -1497,13 +1498,16 @@ class Smoe:
             self.run_batched(train=False, update_reconstruction=True)
         return self.weight_matrix_argmax
 
-    def ls_init_experts(self, mode: str = "auto", ridge: float = 1e-6):
+    def ls_init_experts(self, mode: str = "auto", ridge: float = 1e-6,
+                        damp: float = 0.0):
         """Closed-form least-squares (re)fit of the expert surfaces under
         the current gating (fit/lsinit.py) — beyond the reference: starts
         Adam from the best experts the initial gating can express instead
-        of the image-sample init (reference smoe.py:2437-2456)."""
+        of the image-sample init (reference smoe.py:2437-2456).  `damp`
+        shrinks barely-gated kernels toward their current experts (codec
+        range protection; see ls_refresh_experts)."""
         from smoe_tpu.fit.lsinit import ls_refresh_experts
-        return ls_refresh_experts(self, mode=mode, ridge=ridge)
+        return ls_refresh_experts(self, mode=mode, ridge=ridge, damp=damp)
 
     def get_weight_matrix(self):
         """Full (K, *spatial) gating map — computed on demand (the reference

@@ -274,7 +274,8 @@ def fit_many(images: jnp.ndarray, cfg: SmoeConfig, steps: int = 100,
             eff = effective_params(p, cfg, musX_grid)
             G, bv = _accumulate(eff, cfg, coords, tgt, km, bset.valid,
                                 None, lw, None, False)
-            nu, gam = _solve_kernel(G, bv, p.nu_e, p.gamma_e, cfg, 1e-6)
+            nu, gam = _solve_kernel(G, bv, p.nu_e, p.gamma_e, cfg, 1e-6,
+                                    0.0)
             t = _line_search_t(eff, cfg, coords, tgt, km, bset.valid,
                                None, lw, None, p.nu_e, p.gamma_e,
                                nu - p.nu_e, gam - p.gamma_e)

@@ -670,3 +670,108 @@ def test_decode_cli_max_bytes(tmp_path, toy_rgb):
     rec = decode_cli.main(["-p", path, "-r", str(tmp_path / "out"),
                            "--max-bytes", str(os.path.getsize(path))])
     np.testing.assert_array_equal(rec, decode_bitstream(path))
+
+
+class TestNuAnchor:
+    """Center-anchored expert-offset coding (config.nu_anchor, beyond the
+    reference): nu is coded as the expert value at the decoded kernel
+    center, inverted exactly by the decoder.  Built for LS-initialized
+    fits whose steep slopes stretch origin-nu far outside [0,1]
+    (scripts/exp_lsri_quant.py)."""
+
+    def _steep_model(self, toy_rgb):
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+        # hand the experts honest steep slopes whose surfaces stay in
+        # [0,1] AT the kernel centers — origin-nu then spans ~[-6, 7]
+        rng = np.random.default_rng(0)
+        k, d = np.asarray(s.params.musX).shape
+        c = np.asarray(s.params.nu_e).shape[-1]
+        gam = rng.uniform(-4, 4, (k, d, c)).astype(np.float32)
+        v_center = rng.uniform(0.2, 0.8, (k, c)).astype(np.float32)
+        mu = np.asarray(s.params.musX)
+        nu = v_center - np.einsum("kd,kdc->kc", mu, gam)
+        s.params = s.params.replace(
+            nu_e=np.asarray(nu, np.float32), gamma_e=gam)
+        s.valid = False
+        return s
+
+    def test_bounds_tighten_and_error_shrinks(self, toy_rgb):
+        s = self._steep_model(toy_rgb)
+        params = s.get_params()
+        cfg_plain = s.cfg
+        cfg_anchor = s.cfg.replace(nu_anchor=True)
+
+        qp = quantize_params(dict(params), cfg_plain)
+        qa = quantize_params(dict(params), cfg_anchor)
+        assert "nu_anchor" not in qp and qa.get("nu_anchor") is True
+        span_p = np.max(qp["upper_bounds"]["nu_e"]
+                        - qp["lower_bounds"]["nu_e"])
+        span_a = np.max(qa["upper_bounds"]["nu_e"]
+                        - qa["lower_bounds"]["nu_e"])
+        assert span_a < 0.3 * span_p, (span_p, span_a)
+
+        rp = rescaler(qp, cfg_plain)
+        ra = rescaler(qa, cfg_anchor)
+        err_p = np.max(np.abs(rp["nu_e"] - params["nu_e"]))
+        err_a = np.max(np.abs(ra["nu_e"] - params["nu_e"]))
+        # anchor decode error ~ (tight nu step) + (gamma step * |mu|),
+        # both far under the stretched origin-nu step at 6 bits
+        assert err_a < 0.3 * err_p, (err_p, err_a)
+        # the other groups are coded identically
+        for name in ("A", "musX", "pis", "gamma_e"):
+            np.testing.assert_array_equal(rp[name], ra[name])
+
+    def test_file_roundtrip_flat_and_layered(self, tmp_path, toy_rgb):
+        s = self._steep_model(toy_rgb)
+        cfg = s.cfg.replace(nu_anchor=True)
+        q = quantize_params(s.get_params(), cfg)
+        want = rescaler(q, cfg)
+
+        flat = str(tmp_path / "m.smoe")
+        bs.write_bitstream(flat, q, cfg)
+        q2, header = bs.read_bitstream(flat)
+        assert header["nu_anchor"] is True and q2.get("nu_anchor") is True
+        got = rescaler(q2, cfg)
+        for k in want:
+            np.testing.assert_allclose(want[k], got[k], rtol=0, atol=1e-12)
+
+        lay = str(tmp_path / "m_l.smoe")
+        bs.write_bitstream(lay, q, cfg, layers=2)
+        q3, _ = bs.read_bitstream(lay)
+        assert q3.get("nu_anchor") is True
+        got3 = rescaler(q3, cfg)
+        for k in want:
+            np.testing.assert_allclose(want[k], got3[k], rtol=0, atol=1e-12)
+        # prefix decode also inverts the anchor (per-kernel transform:
+        # a kernel subset decodes independently of dropped kernels)
+        q1, _ = bs.read_bitstream(lay, max_layers=1)
+        assert q1.get("nu_anchor") is True
+        rows = np.flatnonzero(np.asarray(q3["used_kernels"], bool))
+        sub = np.isin(rows,
+                      np.flatnonzero(np.asarray(q1["used_kernels"], bool)))
+        np.testing.assert_allclose(rescaler(q1, cfg)["nu_e"],
+                                   got3["nu_e"][sub], rtol=0, atol=1e-12)
+
+    def test_diff_center_needs_grid(self, toy_rgb):
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[4], use_diff_center=True,
+                 nu_anchor=True)
+        with pytest.raises(ValueError, match="musX_grid"):
+            quantize_params(s.get_params(), s.cfg)
+        q = quantize_params(s.get_params(), s.cfg, musX_grid=s.musX_grid)
+        grid = np.asarray(s.musX_grid)[np.asarray(q["used_kernels"])]
+        r = rescaler(q, s.cfg, musX_grid=grid)
+        # fresh model: surfaces are the sample init, anchor is near-lossless
+        assert np.max(np.abs(r["nu_e"]
+                             - np.asarray(s.get_params()["nu_e"]))) < 0.05
+
+    def test_qm2_fixed_bounds_ignore_anchor(self, toy_rgb):
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[4], quantization_mode=2,
+                 bit_depths=(20, 18, 6, 10, 10), nu_anchor=True)
+        q = quantize_params(s.get_params(), s.cfg)
+        assert "nu_anchor" not in q   # QM2 bounds refer to origin-nu

@@ -52,7 +52,7 @@ class TestLsInit:
         ref, *_ = np.linalg.lstsq(z, tgt, rcond=None)
         ref = ref.reshape(k, 3, 3)
 
-        s.ls_init_experts(mode="coupled", ridge=1e-12)
+        s.ls_init_experts(mode="coupled", ridge=1e-12, damp=0.0)
         nu = np.asarray(s.params.nu_e)[:k]
         gam = np.asarray(s.params.gamma_e)[:k]
         # compare through the PREDICTION (the design may be rank-deficient,
@@ -61,6 +61,27 @@ class TestLsInit:
         got = np.concatenate([nu[:, None, :], gam], axis=1)
         pred_got = z @ got.reshape(k * 3, 3)
         assert np.max(np.abs(pred_ref - pred_got)) < 5e-3
+
+    @pytest.mark.parametrize("mode", ["kernel", "coupled"])
+    def test_damp_shrinks_toward_current_experts(self, mode):
+        """The Levenberg damping pulls the solution toward the CURRENT
+        experts: as damp grows the step shrinks, and barely-gated kernels
+        stay near their pre-solve params (quantizer-range protection)."""
+        s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16))
+        nu0 = np.asarray(s.params.nu_e).copy()
+        gam0 = np.asarray(s.params.gamma_e).copy()
+
+        def step_norm(damp):
+            s.params = s.params.replace(nu_e=nu0, gamma_e=gam0)
+            s.valid = False
+            s.ls_init_experts(mode=mode, damp=damp)
+            return (np.linalg.norm(np.asarray(s.params.nu_e) - nu0)
+                    + np.linalg.norm(np.asarray(s.params.gamma_e) - gam0))
+
+        n_small, n_big = step_norm(1e-3), step_norm(1e3)
+        assert n_big < 0.5 * n_small, (n_small, n_big)
+        # huge damping ~= no-op on the slopes
+        assert np.allclose(np.asarray(s.params.gamma_e), gam0, atol=1e-3)
 
     def test_nu_only_when_gammas_off(self):
         s = Smoe(_img(), kernels_per_dim=[4], batch_size=(16, 16),
