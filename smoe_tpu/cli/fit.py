@@ -332,6 +332,7 @@ def main(args=None):
                            ukl_iter=args.update_kernel_list_iterations,
                            pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
                            sampling_percentage=args.sampling_percentage,
+                           ls_refresh_iter=args.ls_refresh_iter or None,
                            callbacks=callbacks)
 
     # incremental kernel loop (reference smoe_test.py:221-245)
@@ -346,10 +347,12 @@ def main(args=None):
             smoe.train(args.iterations_inc,
                        val_iter=args.validation_iterations,
                        pis_l1=0, sv_l1_sub_l2=args.svreg,
+                       ls_refresh_iter=args.ls_refresh_iter or None,
                        callbacks=callbacks)
             smoe.train(args.iterations_all,
                        val_iter=args.validation_iterations,
                        pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                       ls_refresh_iter=args.ls_refresh_iter or None,
                        callbacks=callbacks)
             if args.hpc_mode:
                 break

@@ -239,6 +239,30 @@ def test_video_fit_cli_npz(tmp_path):
     assert np.isfinite(smoe.get_losses()[-1][1])
 
 
+def test_video_fit_cli_lsri_reseeds(tmp_path):
+    """-lsri threads through the video reseed retrains (and inc trains):
+    every phase runs the periodic LS expert refresh, matching -lsinit's
+    per-phase solve semantics (beyond reference; fit/lsinit.py)."""
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0.2, 0.8, (8, 8, 3)).astype(np.float32)
+    t = 3
+    imgs = np.uint8(np.stack([np.roll(base, i, axis=1)
+                              for i in range(t)], axis=0) * 255)
+    affines = np.zeros((t, 2, 3), np.float32)
+    affines[:, 0, 0] = affines[:, 1, 1] = 1.0
+    affines[:, 0, 2] = -np.arange(t, dtype=np.float32)
+    npz_path = str(tmp_path / "vid.npz")
+    np.savez(npz_path, imgs=imgs, affines=affines)
+
+    from smoe_tpu.cli.fit import main as fit_main
+    res = str(tmp_path / "out")
+    smoe = fit_main(["-i", npz_path, "-r", res, "-n", "10", "-v", "5",
+                     "-k", "2", "-ri", "4", "-yuv", "false",
+                     "-lsinit", "kernel", "-lsri", "2"])
+    assert smoe.model_mask is not None
+    assert np.isfinite(smoe.get_losses()[-1][1])
+
+
 def test_inc_steps_cli(fitted, tmp_path):
     """Incremental kernel insertion through the CLI (-is): error-map peaks
     -> inc block training -> splice (reference smoe_test.py:221-245)."""
