@@ -81,6 +81,8 @@ def main():
                          "A8/mu10/nu8/pi10/g6 (per-group knee)")
     ap.add_argument("--lsinit", action="store_true",
                     help="closed-form LS expert init (fit -lsinit kernel)")
+    ap.add_argument("--lsri", type=int, default=0,
+                    help="periodic LS expert refresh cadence (fit -lsri N)")
     args = ap.parse_args()
 
     lf = build_lf(s=args.s)
@@ -112,6 +114,8 @@ def main():
         argv += ["-ulean", "1"]
     if args.lsinit:
         argv += ["-lsinit", "kernel", "-nuanchor", "1"]
+    if args.lsri:
+        argv += ["-lsri", str(args.lsri)]
     smoe = fit_main(argv)
     fit_s = time.time() - t0
 
