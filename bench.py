@@ -207,6 +207,17 @@ def main():
     evals_per_sec = n_pix * rep["npi"] / t_iter_warm
     speedup = t_iter_cpu / t_iter_warm
     size = img.shape[0]
+    # MFU (VERDICT r3 #8): useful model FLOPs / chip peak.  Per pixel x
+    # live-kernel pair the forward runs two MXU contractions of depth
+    # F_maha=8 (quadratic features, d=2) and F_expert=9 (dual-feature
+    # concat), 2 FLOPs each; training ~3x forward (bwd = two extra
+    # matmuls per matmul).  Peak: v5e 394 TFLOP/s (bf16 MXU).  CAVEAT
+    # (ROADMAP §6): with contraction depth 8 on a 128-deep MXU the
+    # structural ceiling is ~6% BY CONSTRUCTION — the measured pure-
+    # matmul floor sits at ~75% of the tile-issue roofline; low MFU here
+    # reflects the F=8 representation, not schedulable headroom.
+    peak_flops = 394e12
+    mfu_pct = evals_per_sec * 2 * (8 + 9) * 3 / peak_flops * 100
     out = {
         "metric": f"tpu_s_per_iter_{size}x{size}_rgb_256k",
         "value": round(t_iter_warm, 5),
@@ -223,6 +234,10 @@ def main():
         "tunnel_roundtrips": rep["roundtrips"],
         "cpu_s_per_iter": round(t_iter_cpu, 5),
         "pixel_kernel_evals_per_sec_per_chip": round(evals_per_sec, 0),
+        "mfu_pct": round(mfu_pct, 3),
+        "mfu_note": "F=8 contraction: structural ceiling ~6% of MXU peak "
+                    "(ROADMAP roofline); pure-matmul floor is ~75% of "
+                    "tile-issue roofline",
         "active_kernels": rep["npi"],
     }
     print(json.dumps(out))

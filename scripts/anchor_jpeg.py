@@ -80,6 +80,11 @@ def main():
         i = argv.index("--size")
         size = int(argv[i + 1])
         del argv[i:i + 2]
+    family = "bench"
+    if "--family" in argv:
+        i = argv.index("--family")
+        family = argv[i + 1]
+        del argv[i:i + 2]
 
     if argv:
         import cv2
@@ -88,14 +93,15 @@ def main():
             raise SystemExit(f"cannot read {argv[0]}")
         img_u8 = bgr[..., ::-1]
     else:
-        from bench import build_image
-        img_u8 = np.uint8(build_image(size) * 255)
+        from content import build_family
+        img_u8 = np.uint8(build_family(family, size) * 255)
 
     n_pix = int(np.prod(img_u8.shape[:-1]))
     for row in anchor_rows(img_u8, n_pix):
-        print(json.dumps(row), flush=True)
+        print(json.dumps({"family": family, **row}), flush=True)
     if fit_iters:
-        print(json.dumps(smoe_row(img_u8, fit_iters)), flush=True)
+        print(json.dumps({"family": family,
+                          **smoe_row(img_u8, fit_iters)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,24 @@
-"""4K scaling check: 3840x2160 RGB, blocked fit, capped-dense lists."""
+"""4K scaling check: 3840x2160 RGB, blocked fit, capped-dense lists.
+
+--packed: run the in-kernel tile-culling Pallas path (use_pallas="packed")
+instead of capped-dense — the EXACT config that faulted the TPU worker in
+round 2 at K=9216 (ROADMAP item 5's final bisect step; sets
+SMOE_PACKED_UNSAFE=1 to bypass the guard).  May kill the worker: run it
+with nothing else on the chip.
+
+Usage: python scripts/bench_4k.py [thr] [k] [--packed]
+"""
 import sys, time, json
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-thr = float(sys.argv[1]) if len(sys.argv) > 1 else 800.0
-k = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+argv = [a for a in sys.argv[1:] if a != "--packed"]
+packed = "--packed" in sys.argv[1:]
+if packed:
+    os.environ["SMOE_PACKED_UNSAFE"] = "1"
+thr = float(argv[0]) if argv else 800.0
+k = int(argv[1]) if len(argv) > 1 else 48
 
 def build_4k():
     rng = np.random.default_rng(0)
@@ -26,7 +39,8 @@ from smoe_tpu import Smoe
 img = build_4k()
 t0 = time.time()
 s = Smoe(img, kernels_per_dim=[k, k], batch_size=(540, 480),
-         use_yuv=True, use_determinant=True, probe_maha_threshold=thr)
+         use_yuv=True, use_determinant=True, probe_maha_threshold=thr,
+         use_pallas="packed" if packed else "auto")
 s.set_optimizer()
 s.run_batched_chunk(20)
 compile_s = time.time() - t0
@@ -44,4 +58,5 @@ print(json.dumps({
     "unit": "ms", "thr": thr, "blocks": s.start_batches, "kernels": k*k,
     "chunk_ms": [round(t*1000, 2) for t in times],
     "psnr_300": round(float(best), 2), "compile_s": round(compile_s, 1),
+    "pallas": "packed" if packed else "auto",
     "density": round(float(np.asarray(s.kernel_lists).mean()), 3)}))

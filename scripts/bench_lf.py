@@ -82,7 +82,17 @@ def main():
     ap.add_argument("--lsinit", action="store_true",
                     help="closed-form LS expert init (fit -lsinit kernel)")
     ap.add_argument("--lsri", type=int, default=0,
-                    help="periodic LS expert refresh cadence (fit -lsri N)")
+                    help="periodic LS expert refresh cadence (fit -lsri N; "
+                         "+5.0 dB over lsinit-only on this recipe)")
+    ap.add_argument("--ganchor", action="store_true",
+                    help="code gamma in the steering-whitened basis "
+                         "(fit -ganchor 1)")
+    ap.add_argument("--cw", type=float, default=0.0,
+                    help="corner-view loss weight in (0,1]: include the "
+                         "reference-masked corner views at this weight "
+                         "during the fit (0 = reference behavior, corners "
+                         "fully excluded; attacks the trained/all-views "
+                         "generalization gap)")
     args = ap.parse_args()
 
     lf = build_lf(s=args.s)
@@ -113,9 +123,17 @@ def main():
     if args.ulean:
         argv += ["-ulean", "1"]
     if args.lsinit:
-        argv += ["-lsinit", "kernel", "-nuanchor", "1"]
+        argv += ["-lsinit", "kernel"]
+    if args.lsinit or args.lsri:
+        # LS-fitted slopes need center-anchored nu coding whether the fit
+        # came from -lsinit or -lsri (exp_lsri_quant: −4.4 dB without)
+        argv += ["-nuanchor", "1"]
     if args.lsri:
         argv += ["-lsri", str(args.lsri)]
+    if args.ganchor:
+        argv += ["-ganchor", "1"]
+    if args.cw:
+        argv += ["-lfcw", str(args.cw)]
     smoe = fit_main(argv)
     fit_s = time.time() - t0
 
@@ -156,6 +174,7 @@ def main():
         "fit_wallclock_s": round(fit_s, 1),
         "decode_s": round(dec_s, 3),
         "views": list(orig.shape[:2]), "spatial": list(orig.shape[2:4]),
+        "workdir": tmp,
         "recipe": f"fit {args.n}, k={args.kt},{args.kt},{args.k},{args.k}, "
                   f"qm=1, lr={args.lr}"
                   + (f", ukl={args.ukl}" if args.ukl else "")
@@ -163,7 +182,11 @@ def main():
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")
                   + (f", pg={args.pg}" if args.pg else "")
                   + (", lean" if args.lean else "")
-                  + (", ulean" if args.ulean else ""),
+                  + (", ulean" if args.ulean else "")
+                  + (", lsinit" if args.lsinit else "")
+                  + (f", lsri={args.lsri}" if args.lsri else "")
+                  + (", ganchor" if args.ganchor else "")
+                  + (f", cw={args.cw}" if args.cw else ""),
     }))
 
 

@@ -65,9 +65,23 @@ def main():
                     help="closed-form LS expert init + post-reseed "
                          "refreshes (fit -lsinit kernel)")
     ap.add_argument("--lsri", type=int, default=0,
-                    help="periodic LS expert refresh cadence during every "
-                         "train phase (fit -lsri N; the image study's "
-                         "strongest lever, +6.6 dB at fixed K on 512^2)")
+                    help="periodic LS expert refresh cadence (fit -lsri N). "
+                         "+6.6 dB on the 512^2 image study and +5.0 dB on "
+                         "4D LF, but MEASURED NEGATIVE on this exact video "
+                         "recipe at cadence 100 through all phases "
+                         "(30.49 vs 34.30 dB lsinit-only, ROADMAP 6b'''); "
+                         "try --lsrip initial or coarser cadences here")
+    ap.add_argument("--lsrip", type=str, default="all",
+                    choices=["all", "initial"],
+                    help="restrict the -lsri refresh to the initial fit "
+                         "(fit -lsrip; keeps the reseed phases' Adam "
+                         "trajectories unperturbed)")
+    ap.add_argument("--ganchor", action="store_true",
+                    help="code gamma in the steering-whitened basis "
+                         "(fit -ganchor 1): slope-per-Mahalanobis-unit "
+                         "instead of slope-per-domain-unit, so LS-refreshed "
+                         "steep slopes on sharp kernels stop stretching "
+                         "the shared 10-bit gamma quantizer range")
     ap.add_argument("--lean", action="store_true",
                     help="code with the lean bit allocation "
                          "A10/mu12/nu8/pi10/g8 (-lean 1; RD study "
@@ -112,9 +126,13 @@ def main():
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
       + (["-b", str(args.blocks)] if args.blocks else [])
       + (["-pg", str(args.pg)] if args.pg else [])
-      + (["-lsinit", "kernel", "-nuanchor", "1"] if args.lsinit
-         else [])
-      + (["-lsri", str(args.lsri)] if args.lsri else []))
+      + (["-lsinit", "kernel"] if args.lsinit else [])
+      # LS-fitted slopes need center-anchored nu coding whether the fit
+      # came from -lsinit or -lsri (exp_lsri_quant: −4.4 dB without)
+      + (["-nuanchor", "1"] if (args.lsinit or args.lsri) else [])
+      + (["-lsri", str(args.lsri)] if args.lsri else [])
+      + (["-lsrip", args.lsrip] if args.lsrip != "all" else [])
+      + (["-ganchor", "1"] if args.ganchor else []))
     fit_s = time.time() - t0
 
     # receiver-side decode of the BEST-validation model (the reference's
@@ -157,6 +175,7 @@ def main():
         "fit_wallclock_s": round(fit_s, 1),
         "decode_s": round(dec_s, 3),
         "frames": int(orig.shape[2]),
+        "workdir": tmp,
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
                   + (", lean" if args.lean else "")
@@ -166,6 +185,10 @@ def main():
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")
                   + (f", b={args.blocks}" if args.blocks else "")
                   + (f", pg={args.pg}" if args.pg else "")
+                  + (", lsinit" if args.lsinit else "")
+                  + (f", lsri={args.lsri}" if args.lsri else "")
+                  + (f", lsrip={args.lsrip}" if args.lsrip != "all" else "")
+                  + (", ganchor" if args.ganchor else "")
                   + (", static-pan" if args.static else ", moving-obj"),
     }))
 

@@ -6,7 +6,11 @@ point. Prints one JSON line per RD point plus a summary line.
 
 Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
                                   [--lean|--ulean] [--lsinit] [--lsri]
-                                  [--prune]
+                                  [--prune] [--family bench|pink|mosaic|text]
+
+--family: synthetic content family (scripts/content.py) — structurally
+different signal classes to check the measured levers generalize off the
+bench generator (VERDICT r3 #4).
 
 --lsri: additionally re-run the kernel-mode LS expert solve every 100
 iters (the `-lsri 100` cadence; sequential path only) — the alternating
@@ -42,23 +46,29 @@ def main():
     from smoe_tpu.codec.quantize import quantize_params, rate_bits, rescaler
     from smoe_tpu.io.images import read_image
 
-    argv = [a for a in sys.argv[1:]
+    raw = sys.argv[1:]
+    family = "bench"
+    if "--family" in raw:
+        i = raw.index("--family")
+        family = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
+    argv = [a for a in raw
             if a not in ("--dp", "--lean", "--ulean", "--lsinit", "--lsri",
                          "--prune")]
-    use_dp = "--dp" in sys.argv[1:]
-    lean = "--lean" in sys.argv[1:]
-    ulean = "--ulean" in sys.argv[1:]
-    lsinit = "--lsinit" in sys.argv[1:]
-    lsri = "--lsri" in sys.argv[1:]
-    prune = "--prune" in sys.argv[1:]
+    use_dp = "--dp" in raw
+    lean = "--lean" in raw
+    ulean = "--ulean" in raw
+    lsinit = "--lsinit" in raw
+    lsri = "--lsri" in raw
+    prune = "--prune" in raw
     bit_depths = ((8, 10, 8, 10, 6) if ulean else
                   (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
     if argv and not argv[0].isdigit():
         img, precision, _ = read_image(argv[0])
         iters = int(argv[1]) if len(argv) > 1 else 1000
     else:
-        from bench import build_image
-        img = build_image(256)
+        from content import build_family
+        img = build_family(family, 256)
         precision = 8
         iters = int(argv[0]) if argv else 1000
 
@@ -127,7 +137,8 @@ def main():
                     s.ls_init_experts(mode="kernel")
             points.append(measure(s, pis_l1))
 
-    print(json.dumps({"metric": "rd_curve", "points": points}))
+    print(json.dumps({"metric": "rd_curve", "family": family,
+                      "points": points}))
 
 
 if __name__ == "__main__":

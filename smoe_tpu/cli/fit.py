@@ -105,6 +105,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode-exact; config.nu_anchor).  Use with "
                         "-lsinit/-lsri fits, whose honest steep slopes "
                         "otherwise stretch the data-derived nu bounds")
+    p.add_argument("-ganchor", "--gamma_anchor", type=str2bool,
+                   default=False,
+                   help="code gamma in the steering-whitened basis "
+                        "w = M^-1 gamma (M = decoded A, diag floored; "
+                        "config.gamma_anchor).  Decode-exact.  Use with "
+                        "-lsri fits at d>=3, whose honest steep slopes "
+                        "otherwise stretch the shared data-derived gamma "
+                        "bounds (measured 3.1 dB train->decode gap on the "
+                        "CIF video recipe)")
+    p.add_argument("-lfcw", "--lf_corner_weight", type=float, default=0.0,
+                   help="4D light fields: include the reference-masked "
+                        "corner views in the loss at this linear weight "
+                        "(0 = reference behavior, corners excluded; "
+                        "config.lf_corner_weight)")
     p.add_argument("--no_canonicalize", action="store_true",
                    help="preserve trained steering signs in the codec "
                    "(reference behavior; default canonicalizes columns to "
@@ -130,10 +144,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="closed-form least-squares expert init under the "
                         "initial gating before training (fit/lsinit.py; "
                         "beyond the reference)")
-    p.add_argument("-lsri", "--ls_refresh_iter", type=int, default=0,
+    def _nonneg_int(v):
+        iv = int(v)
+        if iv < 0:
+            raise argparse.ArgumentTypeError(
+                "ls_refresh_iter must be >= 0 (0 disables)")
+        return iv
+
+    p.add_argument("-lsri", "--ls_refresh_iter", type=_nonneg_int, default=0,
                    help="re-solve the experts in closed form every N "
                         "training iterations (line-searched, "
                         "non-regressing; fit/lsinit.py)")
+    p.add_argument("-lsrip", "--ls_refresh_phases", type=str, default="all",
+                   choices=["all", "initial"],
+                   help="which train phases run the -lsri periodic refresh: "
+                        "'all' (every phase incl. video reseed retrains and "
+                        "inc retrains) or 'initial' (the first fit only — "
+                        "the refresh measured NEGATIVE when it perturbs the "
+                        "video reseed phases' Adam trajectories, ROADMAP "
+                        "6b''')")
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
@@ -234,6 +263,8 @@ def main(args=None):
         probe_grid=args.probe_grid,
         canonicalize_steering=not args.no_canonicalize,
         nu_anchor=args.nu_anchor,
+        gamma_anchor=args.gamma_anchor,
+        lf_corner_weight=args.lf_corner_weight,
     )
     smoe.set_optimizer()
 
@@ -271,6 +302,12 @@ def main(args=None):
         print(f"LS expert init ({args.ls_init}): gated mass {mass:.1f}",
               flush=True)
 
+    # -lsri cadence per phase: later phases (video reseeds, inc retrains)
+    # drop the refresh under -lsrip initial (measured: the refresh perturbs
+    # reseed trajectories on the CIF recipe, ROADMAP 6b''')
+    lsri_first = args.ls_refresh_iter or None
+    lsri_later = lsri_first if args.ls_refresh_phases == "all" else None
+
     # Result-writing callbacks write on process 0 only under multi-host:
     # every process computes identical replicated state, so N hosts
     # writing loss.png/panels/metrics.jsonl would race on shared storage
@@ -304,7 +341,7 @@ def main(args=None):
                        pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
                        sampling_percentage=args.sampling_percentage,
                        use_loss_mask=loss_mask is not None,
-                       ls_refresh_iter=args.ls_refresh_iter or None,
+                       ls_refresh_iter=lsri_first,
                        callbacks=callbacks)
 
         # video: per-time-slab kernel reseeding + retrain
@@ -332,7 +369,7 @@ def main(args=None):
                            ukl_iter=args.update_kernel_list_iterations,
                            pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
                            sampling_percentage=args.sampling_percentage,
-                           ls_refresh_iter=args.ls_refresh_iter or None,
+                           ls_refresh_iter=lsri_later,
                            callbacks=callbacks)
 
     # incremental kernel loop (reference smoe_test.py:221-245)
@@ -347,12 +384,12 @@ def main(args=None):
             smoe.train(args.iterations_inc,
                        val_iter=args.validation_iterations,
                        pis_l1=0, sv_l1_sub_l2=args.svreg,
-                       ls_refresh_iter=args.ls_refresh_iter or None,
+                       ls_refresh_iter=lsri_later,
                        callbacks=callbacks)
             smoe.train(args.iterations_all,
                        val_iter=args.validation_iterations,
                        pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
-                       ls_refresh_iter=args.ls_refresh_iter or None,
+                       ls_refresh_iter=lsri_later,
                        callbacks=callbacks)
             if args.hpc_mode:
                 break

@@ -39,6 +39,11 @@ def main(args=None):
                    help="re-code nu at the decoded kernel CENTER (see "
                         "cli/fit.py -nuanchor; decode-exact, old files "
                         "unaffected)")
+    p.add_argument("-ganchor", "--gamma_anchor", type=lambda v: v.lower()
+                   in ("1", "true", "yes"), default=False,
+                   help="re-code gamma in the steering-whitened basis (see "
+                        "cli/fit.py -ganchor; decode-exact, old files "
+                        "unaffected)")
     p.add_argument("-layers", "--layers", type=int, default=None,
                    help="write an SNR-scalable LAYERED bitstream with N "
                         "importance-ordered kernel tiers — any tier "
@@ -95,7 +100,7 @@ def main(args=None):
         quantize_pis=bool(cp.get("quantized_pis", False)),
         precision=precision, bit_depths=tuple(a.bit_depths),
         quantization_mode=int(cp.get("quantization_mode", 0)),
-        nu_anchor=a.nu_anchor)
+        nu_anchor=a.nu_anchor, gamma_anchor=a.gamma_anchor)
     if cp.get("lower_bounds") is not None:
         cfg_kw["lower_bounds"] = tuple(cp["lower_bounds"])
     if cp.get("upper_bounds") is not None:

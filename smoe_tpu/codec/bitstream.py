@@ -734,6 +734,9 @@ def write_bitstream(path: str, qparams: Dict, cfg,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
         "nu_anchor": bool(qparams.get("nu_anchor", False)),
+        **({"gamma_anchor": True,
+            "gamma_anchor_eps": float(qparams.get("gamma_anchor_eps", 1.0))}
+           if qparams.get("gamma_anchor", False) else {}),
         "train_inverse_cov": bool(cfg.train_inverse_cov),
         "kernels_per_dim": list(cfg.kernels_per_dim),
         "precision": cfg.precision,
@@ -848,6 +851,9 @@ def _write_layered(path: str, qparams: Dict, cfg, extra, layers,
         "radial_as": bool(cfg.radial_as),
         "use_diff_center": bool(cfg.use_diff_center),
         "nu_anchor": bool(qparams.get("nu_anchor", False)),
+        **({"gamma_anchor": True,
+            "gamma_anchor_eps": float(qparams.get("gamma_anchor_eps", 1.0))}
+           if qparams.get("gamma_anchor", False) else {}),
         "train_inverse_cov": bool(cfg.train_inverse_cov),
         "kernels_per_dim": list(cfg.kernels_per_dim),
         "precision": cfg.precision,
@@ -997,6 +1003,10 @@ def read_bitstream(path: str, max_layers: Optional[int] = None
     }
     if header.get("nu_anchor"):
         qparams["nu_anchor"] = True     # rescaler inverts the center anchor
+    if header.get("gamma_anchor"):
+        qparams["gamma_anchor"] = True  # rescaler un-whitens the slopes
+        qparams["gamma_anchor_eps"] = float(header.get("gamma_anchor_eps",
+                                                       1.0))
     off = 0
     mus_nbr = None
     for name in order:
@@ -1156,6 +1166,10 @@ def _read_layered(header: Dict, payload: bytes,
     }
     if header.get("nu_anchor"):
         qparams["nu_anchor"] = True     # rescaler inverts the center anchor
+    if header.get("gamma_anchor"):
+        qparams["gamma_anchor"] = True  # rescaler un-whitens the slopes
+        qparams["gamma_anchor_eps"] = float(header.get("gamma_anchor_eps",
+                                                       1.0))
     header_out = dict(header)
     header_out["shapes"] = dict(shapes)
     header_out["layers_decoded"] = m

@@ -66,6 +66,21 @@ def canonicalize_steering(params: Dict[str, np.ndarray], cfg: SmoeConfig
     return p
 
 
+def _whiten_matrix(rA_full: np.ndarray, eps: float) -> np.ndarray:
+    """Deterministic whitening matrix for gamma coding (config.gamma_anchor):
+    the decoded steering factor with its diagonal magnitude floored at eps
+    (sign preserved; exact zeros floor to +eps).  Both encoder and decoder
+    derive M from the SAME dequantized A, so gamma = M @ w_q inverts the
+    coded w = M^-1 gamma exactly."""
+    M = np.array(rA_full, np.float64)
+    d = M.shape[-1]
+    for j in range(d):
+        dj = M[:, j, j]
+        M[:, j, j] = np.where(dj >= 0, np.maximum(dj, eps),
+                              np.minimum(dj, -eps))
+    return M
+
+
 def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
                     musX_grid: Optional[np.ndarray] = None
                     ) -> Dict[str, np.ndarray]:
@@ -131,7 +146,31 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
 
     nu_val = params["nu_e"]
     q_mu = q(params["musX"], lb_mu, ub_mu, steps["musX"])
-    q_g = q(params["gamma_e"], lb_g, ub_g, steps["gamma_e"])
+
+    g_val = params["gamma_e"]
+    g_anchored = bool(cfg.gamma_anchor and cfg.train_gammas and qm != 2
+                      and not cfg.train_inverse_cov)
+    M = None
+    if g_anchored:
+        # steering-whitened slope coding (config.gamma_anchor): code
+        # w = M^-1 gamma, the slope per unit Mahalanobis distance — a steep
+        # slope on a sharp kernel codes small, so LS-fitted fits stop
+        # stretching the shared data-derived gamma bounds.  M comes from
+        # the DEQUANTIZED A (coded above), so the decoder's M is identical.
+        q_Ad = q(params["A_diagonal"], lb_Ad, ub_Ad, steps["A"])
+        r_Ad = deq(q_Ad, lb_Ad, ub_Ad, steps["A"])
+        if radial:
+            k = r_Ad.shape[0]
+            rA_full = np.zeros((k, d, d))
+            rA_full[:, np.arange(d), np.arange(d)] = r_Ad[:, None]
+        else:
+            q_Ac = q(params["A_corr"], lb_Ac, ub_Ac, steps["A"])
+            rA_full = r_Ad + deq(q_Ac, lb_Ac, ub_Ac, steps["A"])
+        M = _whiten_matrix(rA_full, cfg.gamma_anchor_eps)
+        g_val = np.linalg.solve(M, np.asarray(params["gamma_e"], np.float64))
+        lb_g, ub_g = data_bounds(g_val)
+
+    q_g = q(g_val, lb_g, ub_g, steps["gamma_e"])
     anchored = bool(cfg.nu_anchor and cfg.train_gammas and qm != 2)
     if anchored:
         # center-anchored offset coding (see config.nu_anchor): code the
@@ -148,6 +187,8 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
                     "(the decoder anchors at grid + decoded diff)")
             r_mu = r_mu + np.asarray(musX_grid, np.float64)[used]
         r_g = deq(q_g, lb_g, ub_g, steps["gamma_e"])
+        if g_anchored:
+            r_g = M @ r_g       # un-whiten: the decoder's effective gamma
         nu_val = params["nu_e"] + np.einsum("kd,kdc->kc", r_mu, r_g)
         lb_nu, ub_nu = data_bounds(nu_val)
 
@@ -164,6 +205,9 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
            "used_kernels": used}
     if anchored:
         out["nu_anchor"] = True
+    if g_anchored:
+        out["gamma_anchor"] = True
+        out["gamma_anchor_eps"] = float(cfg.gamma_anchor_eps)
     if not radial:
         lower["A_corr"] = lb_Ac
         upper["A_corr"] = ub_Ac
@@ -223,6 +267,13 @@ def rescaler(qparams: Dict, cfg: SmoeConfig,
     if cfg.use_diff_center:
         assert musX_grid is not None, "use_diff_center needs the grid centers"
         rmusX = rmusX + musX_grid
+
+    if qparams.get("gamma_anchor", False):
+        # invert the steering-whitened slope coding (config.gamma_anchor):
+        # the coded values are w = M^-1 gamma with M derived from the SAME
+        # dequantized A available here — gamma = M @ w exactly
+        M = _whiten_matrix(rA, qparams.get("gamma_anchor_eps", 1.0))
+        rg = M @ np.asarray(rg, np.float64)
 
     if qparams.get("nu_anchor", False):
         # invert the center-anchored offset coding (config.nu_anchor):

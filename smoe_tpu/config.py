@@ -65,6 +65,28 @@ class SmoeConfig:
     # exactly like reference quantizer.py.  Ignored under QM2 (fixed
     # user bounds refer to origin-nu).
     nu_anchor: bool = False
+    # Steering-whitened slope coding (beyond reference, the nu_anchor idea
+    # extended to gamma): code w = M^-1 gamma per channel, where M is the
+    # decoded steering factor A_q with its diagonal magnitude floored at
+    # gamma_anchor_eps (deterministic from A_q on both sides, so decode is
+    # exact: gamma = M w_q).  w has the unit "signal change per unit
+    # Mahalanobis distance" — a steep slope across a SHARP kernel (large A)
+    # codes small, so LS-refreshed fits stop stretching the shared
+    # data-derived gamma bounds (at d=3 gamma is 9 fields/kernel; the
+    # stretch cost the video -lsri recipe a measured 3.1 dB train->decode
+    # gap, ROADMAP 6b''').  Off by default (parity: reference codes raw
+    # gamma).  Ignored under QM2 (fixed user bounds refer to raw gamma)
+    # and under train_inverse_cov (no triangular factor to whiten with).
+    gamma_anchor: bool = False
+    gamma_anchor_eps: float = 1.0            # |diag M| floor (domain [0,1]^d)
+    # Light-field corner-view loss weight (beyond reference): the reference
+    # EXCLUDES the 15x15 view grid's corner views from the loss entirely
+    # (smoe.py:2374-2389) and the fit measurably overfits the trained-view
+    # mask (8.3 dB trained/all-views gap at the lsri point, BASELINE).
+    # When > 0, corner views enter the loss at this linear per-pixel
+    # weight (core/losses.pixel_loss float valid path; the LS solves use
+    # the same row weight) instead of being dropped.  0 = reference.
+    lf_corner_weight: float = 0.0
     lower_bounds: Tuple[float, ...] = (-2500.0, -0.3, -5.0, 0.0, -32.0)
     upper_bounds: Tuple[float, ...] = (2500.0, 1.3, 5.0, 2.0, 32.0)
 

@@ -36,20 +36,28 @@ def pixel_loss(res: jnp.ndarray, target: jnp.ndarray, cfg: SmoeConfig,
     """
     diff = res - target
     if valid_mask is not None:
-        diff = diff * valid_mask[:, None]
+        # linear per-pixel weight: bool masks (overlap crop / LF view mask)
+        # behave bit-identically to the previous residual-scaling form
+        # (vm in {0,1} => vm^2 == vm); float masks (cfg.lf_corner_weight)
+        # weight the squared error linearly, matching the LS solve's row
+        # weights (fit/lsinit.py)
+        vm = valid_mask.astype(res.dtype)[:, None]
         denom = jnp.maximum(jnp.sum(valid_mask), 1.0)
     else:
+        vm = None
         denom = jnp.asarray(float(res.shape[0]), res.dtype)
 
     sq = jnp.square(diff)
+    if vm is not None:
+        sq = sq * vm
     mse = jnp.sum(sq) / (denom * res.shape[1]) * float(2 ** cfg.precision) ** 2
 
     eps = cfg.epsilon
     lp = jnp.maximum(0.0, jnp.square(jnp.abs(diff) - eps))
     # masked-out pixels: |0| - eps < 0 -> max(0, (. )^2) is (eps)^2 > 0, so
-    # re-mask explicitly.
-    if valid_mask is not None:
-        lp = lp * valid_mask[:, None]
+    # mask explicitly.
+    if vm is not None:
+        lp = lp * vm
     if loss_weights is not None:
         lp = lp * loss_weights[:, None]
     if cfg.use_yuv and res.shape[1] == 3:

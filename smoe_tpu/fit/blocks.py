@@ -104,7 +104,16 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
         # a block-partitioned LF fit excludes the same views as a global fit
         # (reference masks the loss regardless of batching, smoe.py:902-904)
         tm = _lf_train_mask(spatial)[..., None].astype(np.float32)
-        train_mask = jnp.asarray(_block_view(tm, bs, ov)[..., 0] > 0.5)
+        cw = float(getattr(cfg, "lf_corner_weight", 0.0))
+        if cw > 0.0:
+            # corner views ride the loss at weight cw instead of being
+            # dropped (cfg.lf_corner_weight; attacks the trained/all-views
+            # generalization gap) — float mask, consumed multiplicatively
+            tm = tm + cw * (1.0 - tm)
+            train_mask = jnp.asarray(_block_view(tm, bs, ov)[..., 0],
+                                     jnp.float32)
+        else:
+            train_mask = jnp.asarray(_block_view(tm, bs, ov)[..., 0] > 0.5)
 
     return BlockSet(
         coords=jnp.asarray(coords, jnp.float32),

@@ -436,7 +436,10 @@ class _Compiled:
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 tm = bset.train_mask[bidx]        # this block's view mask
-                valid = tm if valid is None else valid & tm
+                if tm.dtype == jnp.bool_:
+                    valid = tm if valid is None else valid & tm
+                else:   # float corner-weight mask (cfg.lf_corner_weight)
+                    valid = tm if valid is None else tm * valid
             sv_blk = None
             if with_sv:
                 off = bidx * nb
@@ -452,7 +455,8 @@ class _Compiled:
                     jax.random.uniform(rng, probs.shape, minval=1e-20)))
                 scores = jnp.log(jnp.maximum(probs, 1e-20)) + g
                 if valid is not None:
-                    scores = jnp.where(valid, scores, -jnp.inf)
+                    scores = jnp.where(valid > 0 if valid.dtype != jnp.bool_
+                                       else valid, scores, -jnp.inf)
                 idx = jax.lax.top_k(scores, sample_n)[1]
                 coords = coords[idx]
                 targets = targets[idx]
@@ -687,7 +691,10 @@ class _Compiled:
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 tm = bset.train_mask[bidx]        # this block's view mask
-                valid = tm if valid is None else valid & tm
+                if tm.dtype == jnp.bool_:
+                    valid = tm if valid is None else valid & tm
+                else:   # float corner-weight mask (cfg.lf_corner_weight)
+                    valid = tm if valid is None else tm * valid
             la = L.pixel_loss(out.res, targets, cfg, lw, valid)
             if cfg.ssim_opt:
                 c = targets.shape[-1]

@@ -604,3 +604,45 @@ def test_info_cli(fitted, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "layered" in out
     assert "tier 1" in out and "tier 2" in out and "cum_bpp" in out
+
+
+def test_lsri_rejects_negative(tmp_path):
+    from smoe_tpu.cli.fit import build_parser
+    import pytest
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-i", "x", "-r", "y", "-lsri", "-5"])
+
+
+def test_lsrip_initial_restricts_refresh(tmp_path, monkeypatch):
+    """-lsrip initial: the periodic LS refresh runs in the FIRST train
+    phase only; reseed retrains see ls_refresh_iter=None (the video
+    recipe's measured-negative mode keeps the reseed phases' Adam
+    trajectories unperturbed, ROADMAP 6b''')."""
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0.2, 0.8, (8, 8, 3)).astype(np.float32)
+    t = 3
+    imgs = np.uint8(np.stack([np.roll(base, i, axis=1)
+                              for i in range(t)], axis=0) * 255)
+    affines = np.zeros((t, 2, 3), np.float32)
+    affines[:, 0, 0] = affines[:, 1, 1] = 1.0
+    affines[:, 0, 2] = -np.arange(t, dtype=np.float32)
+    npz_path = str(tmp_path / "vid.npz")
+    np.savez(npz_path, imgs=imgs, affines=affines)
+
+    from smoe_tpu.fit.trainer import Smoe
+    seen = []
+    orig_train = Smoe.train
+
+    def spy(self, *a, **kw):
+        seen.append(kw.get("ls_refresh_iter"))
+        return orig_train(self, *a, **kw)
+
+    monkeypatch.setattr(Smoe, "train", spy)
+    from smoe_tpu.cli.fit import main as fit_main
+    res = str(tmp_path / "out")
+    fit_main(["-i", npz_path, "-r", res, "-n", "10", "-v", "5",
+              "-k", "2", "-ri", "4", "-yuv", "false",
+              "-lsinit", "kernel", "-lsri", "2", "-lsrip", "initial"])
+    assert seen[0] == 2                      # initial fit refreshes
+    assert len(seen) > 1                     # reseed retrains happened
+    assert all(v is None for v in seen[1:])  # ...without the refresh

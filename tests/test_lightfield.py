@@ -136,3 +136,65 @@ def test_lf_mat_v73_write_roundtrip(tmp_path):
     assert precision == 8
     np.testing.assert_allclose(back, np.round(lf * 255) / 255.0,
                                atol=1e-6)
+
+
+class TestCornerWeight:
+    """cfg.lf_corner_weight (beyond reference): corner views enter the loss
+    at a small linear weight instead of being dropped — attacks the
+    trained/all-views generalization gap (BASELINE: 8.3 dB at the LF lsri
+    point)."""
+
+    def test_mask_is_float_with_corner_weight(self):
+        lf = make_lf()
+        cfg = SmoeConfig(dim_domain=4, num_channels=1,
+                         kernels_per_dim=(2, 2, 2, 2), use_yuv=False,
+                         lf_corner_weight=0.25)
+        bset = build_blockset(lf, cfg, lf.shape[:4])
+        tm = np.asarray(bset.train_mask)
+        assert tm.dtype == np.float32
+        full = _lf_train_mask(lf.shape[:4])
+        assert set(np.unique(tm)) == {np.float32(0.25), np.float32(1.0)}
+        # blocked mask matches the view mask layout
+        assert np.isclose(tm.mean(),
+                          full.mean() + 0.25 * (1 - full.mean()), atol=1e-6)
+
+    def test_zero_weight_is_reference_parity(self):
+        lf = make_lf()
+        s0 = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False)
+        sz = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False,
+                  lf_corner_weight=0.0)
+        s0.set_optimizer(); sz.set_optimizer()
+        l0, *_ = s0.run_batched(train=False)
+        lz, *_ = sz.run_batched(train=False)
+        assert l0 == lz
+
+    def test_corner_gradients_flow(self):
+        """With cw>0, corrupting ONLY the corner views changes the loss and
+        the one-step parameters (the exact inverse of
+        test_lf_blocked_mask_excludes_corner_views)."""
+        lf = make_lf()
+        lf2 = lf.copy()
+        mask = _lf_train_mask(lf.shape[:4])
+        lf2[~mask] = 0.93
+
+        def fit_one_step(img):
+            s = Smoe(img, kernels_per_dim=[2, 2, 2, 2], use_yuv=False,
+                     batch_size=(5, 15, 6, 6), lf_corner_weight=0.3)
+            s.set_optimizer()
+            l0, *_ = s.run_batched(train=False)
+            s.run_batched_chunk(1)
+            return l0, s.get_params()
+
+        l1, p1 = fit_one_step(lf)
+        l2, p2 = fit_one_step(lf2)
+        assert l1 != l2
+        assert any(not np.array_equal(p1[k], p2[k]) for k in p1)
+
+    def test_ls_init_respects_corner_weight(self):
+        lf = make_lf()
+        s = Smoe(lf, kernels_per_dim=[2, 2, 2, 2], use_yuv=False,
+                 lf_corner_weight=0.3)
+        s.set_optimizer()
+        s.ls_init_experts(mode="kernel")
+        l, m, *_ = s.run_batched(train=False)
+        assert np.isfinite(l) and np.isfinite(m)
