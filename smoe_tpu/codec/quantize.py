@@ -66,19 +66,23 @@ def canonicalize_steering(params: Dict[str, np.ndarray], cfg: SmoeConfig
     return p
 
 
-def _whiten_matrix(rA_full: np.ndarray, eps: float) -> np.ndarray:
-    """Deterministic whitening matrix for gamma coding (config.gamma_anchor):
-    the decoded steering factor with its diagonal magnitude floored at eps
-    (sign preserved; exact zeros floor to +eps).  Both encoder and decoder
-    derive M from the SAME dequantized A, so gamma = M @ w_q inverts the
-    coded w = M^-1 gamma exactly."""
-    M = np.array(rA_full, np.float64)
-    d = M.shape[-1]
-    for j in range(d):
-        dj = M[:, j, j]
-        M[:, j, j] = np.where(dj >= 0, np.maximum(dj, eps),
-                              np.minimum(dj, -eps))
-    return M
+def _whiten_scale(rA_full: np.ndarray, eps: float) -> np.ndarray:
+    """Deterministic per-(kernel, axis) whitening scale for gamma coding
+    (config.gamma_anchor): |diag| of the decoded steering factor, floored
+    at eps.  Both encoder and decoder derive it from the SAME dequantized
+    A, so gamma = w_q * scale inverts the coded w = gamma / scale exactly.
+
+    Diagonal-only by design: whitening by the full triangular factor
+    (w = A^-1 gamma, the mathematically exact per-Mahalanobis-unit slope)
+    EXPLODED on the dual-model video fits — A_corr reaches ~±350 over
+    unit-scale diagonals there, so A^-1 carries ~1e5 entries and the
+    whitened bounds blew up to ±1300 (decoded 5.6 dB, run
+    smoe_vidq_1w5pouz0, 2026-08-19).  |diag A| is the per-axis bandwidth;
+    it captures the sharp-kernel-steep-slope correlation that stretches
+    the bounds while staying perfectly conditioned."""
+    diag = np.abs(np.diagonal(np.asarray(rA_full, np.float64),
+                              axis1=1, axis2=2))
+    return np.maximum(diag, eps)                        # (K, d)
 
 
 def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
@@ -150,13 +154,13 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
     g_val = params["gamma_e"]
     g_anchored = bool(cfg.gamma_anchor and cfg.train_gammas and qm != 2
                       and not cfg.train_inverse_cov)
-    M = None
+    g_scale = None
     if g_anchored:
         # steering-whitened slope coding (config.gamma_anchor): code
-        # w = M^-1 gamma, the slope per unit Mahalanobis distance — a steep
-        # slope on a sharp kernel codes small, so LS-fitted fits stop
-        # stretching the shared data-derived gamma bounds.  M comes from
-        # the DEQUANTIZED A (coded above), so the decoder's M is identical.
+        # w = gamma / |diag A| per axis — a steep slope on a sharp kernel
+        # codes small, so LS-fitted fits stop stretching the shared
+        # data-derived gamma bounds.  The scale comes from the DEQUANTIZED
+        # A (coded above), so the decoder's scale is identical.
         q_Ad = q(params["A_diagonal"], lb_Ad, ub_Ad, steps["A"])
         r_Ad = deq(q_Ad, lb_Ad, ub_Ad, steps["A"])
         if radial:
@@ -164,10 +168,10 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
             rA_full = np.zeros((k, d, d))
             rA_full[:, np.arange(d), np.arange(d)] = r_Ad[:, None]
         else:
-            q_Ac = q(params["A_corr"], lb_Ac, ub_Ac, steps["A"])
-            rA_full = r_Ad + deq(q_Ac, lb_Ac, ub_Ac, steps["A"])
-        M = _whiten_matrix(rA_full, cfg.gamma_anchor_eps)
-        g_val = np.linalg.solve(M, np.asarray(params["gamma_e"], np.float64))
+            rA_full = r_Ad
+        g_scale = _whiten_scale(rA_full, cfg.gamma_anchor_eps)   # (K, d)
+        g_val = np.asarray(params["gamma_e"], np.float64) \
+            / g_scale[:, :, None]
         lb_g, ub_g = data_bounds(g_val)
 
     q_g = q(g_val, lb_g, ub_g, steps["gamma_e"])
@@ -188,7 +192,8 @@ def quantize_params(params: Dict[str, np.ndarray], cfg: SmoeConfig,
             r_mu = r_mu + np.asarray(musX_grid, np.float64)[used]
         r_g = deq(q_g, lb_g, ub_g, steps["gamma_e"])
         if g_anchored:
-            r_g = M @ r_g       # un-whiten: the decoder's effective gamma
+            # un-whiten: the decoder's effective gamma
+            r_g = r_g * g_scale[:, :, None]
         nu_val = params["nu_e"] + np.einsum("kd,kdc->kc", r_mu, r_g)
         lb_nu, ub_nu = data_bounds(nu_val)
 
@@ -270,10 +275,10 @@ def rescaler(qparams: Dict, cfg: SmoeConfig,
 
     if qparams.get("gamma_anchor", False):
         # invert the steering-whitened slope coding (config.gamma_anchor):
-        # the coded values are w = M^-1 gamma with M derived from the SAME
-        # dequantized A available here — gamma = M @ w exactly
-        M = _whiten_matrix(rA, qparams.get("gamma_anchor_eps", 1.0))
-        rg = M @ np.asarray(rg, np.float64)
+        # the coded values are w = gamma / scale with the scale derived
+        # from the SAME dequantized A available here — gamma = w * scale
+        scale = _whiten_scale(rA, qparams.get("gamma_anchor_eps", 1.0))
+        rg = np.asarray(rg, np.float64) * scale[:, :, None]
 
     if qparams.get("nu_anchor", False):
         # invert the center-anchored offset coding (config.nu_anchor):

@@ -112,10 +112,10 @@ class SmoeConfig:
     # (5.1 vs 4.4 ms/iter at 512^2) — the maha contraction is only F=8 wide
     # so the matmul is cast-overhead-bound, and PSNR is unchanged.
     compute_dtype: str = "float32"
-    # auto/on/off/packed.  "packed" (in-kernel tile culling) is opt-in and
-    # validated only to K=2304 — it measured slower than auto's
-    # capped-dense at every size tried and crashed the TPU runtime at
-    # K=9216 (ROADMAP.md "Block sparsity").
+    # auto/on/off.  ("packed" — an in-kernel tile-culling variant — was
+    # REMOVED in round 4: slower than auto's capped-dense at every
+    # measured size AND conclusively faulted the TPU worker at the
+    # 4K/K=9216 trainer config; see ROADMAP.md "Block sparsity".)
     use_pallas: str = "auto"
     # kernel-list probe threshold (reference smoe.py:806 hardcodes 800).
     # Measured on config 3 (1080p, 16 blocks, K=576): 150 -> -15% step

@@ -243,30 +243,11 @@ def resolve_pallas(use_pallas: str) -> Tuple[bool, bool]:
     return on_tpu, False
 
 
-@functools.lru_cache(maxsize=64)
-def _patch_perm(spatial: Tuple[int, ...], patch: int = 32):
-    """Pixel permutation grouping a 2-D block into `patch`x`patch` raster
-    patches, so consecutive pixel tiles in the fused kernel are spatially
-    compact (a prerequisite for the per-tile maha cull bound).  Returns
-    (perm, inv) index arrays with phi_patch = phi[perm],
-    res_raster = res_patch[inv]."""
-    h, w = spatial
-    idx = np.arange(h * w).reshape(h, w)
-    chunks = [idx[i:i + patch, j:j + patch].reshape(-1)
-              for i in range(0, h, patch) for j in range(0, w, patch)]
-    perm = np.concatenate(chunks)
-    inv = np.argsort(perm)
-    # cache NUMPY (jnp arrays created under jit are tracers and must not
-    # outlive their trace); jnp.take converts at the use site
-    return perm.astype(np.int32), inv.astype(np.int32)
-
-
 def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
                   gamma_e: jnp.ndarray, pis: jnp.ndarray, cfg: SmoeConfig,
                   coords: jnp.ndarray, kernel_mask: jnp.ndarray,
                   interpret: bool,
                   sv_add: Optional[jnp.ndarray] = None,
-                  packed: bool = False,
                   coords_raw: Optional[jnp.ndarray] = None,
                   model_mask: Optional[jnp.ndarray] = None,
                   spatial: Optional[Tuple[int, ...]] = None,
@@ -280,15 +261,6 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
     per-kernel domain select into 2F-wide features, see
     dual_domain_features).  Restriction: coords carry no gradient, so not
     for train_trafo video.
-
-    packed: sort active kernels first and skip inactive kernel tiles
-    entirely (kernels/gate_expert_sparse.py) — compute scales with the
-    per-block kernel-list density instead of total K.  For 2-D blocks with
-    known `spatial` shape, pixels are additionally patch-ordered and every
-    pixel tile carries a [phi(center), radius] descriptor so far
-    (pixel-tile, kernel-tile) pairs are skipped by a rigorous maha lower
-    bound — hierarchical culling at tile granularity (the tile-level
-    analog of the reference's probe culling, smoe.py:2332-2354).
 
     k_cap: static width cap for the CAPPED-DENSE sparsity mode — the
     caller guarantees every kernel list has <= k_cap active kernels
@@ -334,30 +306,7 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
         xe = jnp.ones((coords.shape[0], 1), coords.dtype)
         G = nu_e
 
-    if packed:
-        from smoe_tpu.kernels.gate_expert_sparse import (
-            build_tile_desc, fused_gate_expert_packed)
-        order = jnp.argsort(jnp.logical_not(mask))   # active first, stable
-        n_pix = int(coords.shape[0])
-        desc = fro = inv = None
-        dual = coords_raw is not None and model_mask is not None
-        if (not dual and cfg.dim_domain == 2 and spatial is not None
-                and int(np.prod(spatial)) == n_pix):
-            perm, inv = _patch_perm(tuple(int(s) for s in spatial))
-            phi = jnp.take(phi, perm, axis=0)
-            xe = jnp.take(xe, perm, axis=0)
-            desc = build_tile_desc(jnp.take(coords, perm, axis=0), k)
-            fro = jnp.sqrt(jnp.sum(A * A, axis=(1, 2)))[order]
-        res_raw, surv_p = fused_gate_expert_packed(
-            phi, xe, q[order], G[order],
-            pi_det[order].astype(jnp.float32),
-            mask[order].astype(jnp.float32), desc, fro,
-            float(cfg.minimum_influence), float(DENOM_FLOOR),
-            n_pix, bool(interpret))
-        if inv is not None:
-            res_raw = jnp.take(res_raw, inv, axis=0)
-        surv = jnp.zeros((k,), surv_p.dtype).at[order].set(surv_p)
-    elif k_cap is not None and k_cap < k:
+    if k_cap is not None and k_cap < k:
         # capped-dense: gather the (<= k_cap) listed kernels, run the dense
         # kernel at the narrow width, scatter survivors back
         order = jnp.argsort(jnp.logical_not(mask))[:k_cap]

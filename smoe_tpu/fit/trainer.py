@@ -131,7 +131,6 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
     kernel when enabled and the config allows (no dual model, no coordinate
     gradients, i.e. not train_trafo video).
     sv_add: (Nb,) precomputed SV residual added to the Y channel pre-clip.
-    spatial: block pixel shape for the packed kernel's patch ordering.
     kernel_axis: mesh axis name when the kernel rows are sharded (TP/EP):
     the gating denominator and the partial expert sums each psum over it
     (the only cross-shard reductions in the forward, reference smoe.py:820);
@@ -157,10 +156,9 @@ def _forward_eff(eff: EffParams, cfg: SmoeConfig, coords: jnp.ndarray,
         return forward_fused(eff.A, eff.musX, eff.nu_e, eff.gamma_e,
                              eff.pis, cfg, coords_in, kernel_mask,
                              interpret=fused[1], sv_add=sv_add,
-                             packed=len(fused) > 2 and fused[2],
                              coords_raw=coords_raw,
                              model_mask=model_mask, spatial=spatial,
-                             k_cap=fused[3] if len(fused) > 3 else None)
+                             k_cap=fused[2] if len(fused) > 2 else None)
     maha = maha_from_A(eff.A, eff.musX, cfg, coords_in, coords_raw, model_mask)
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
     w_e = gating(maha, eff.pis, diag_A, cfg, kernel_mask,
@@ -349,14 +347,19 @@ class _Compiled:
         self.kernel_axis = "k" if self.nk > 1 else None
         self.block_weight = float(np.prod(bset.block_valued)) / num_pixel
         from smoe_tpu.core.model import resolve_pallas
-        # The packed (block-sparse) kernel variant is opt-in
-        # (use_pallas="packed"): measured on v5e at 1080p/16 blocks it
-        # trails the dense fused kernel (178 vs 151 ms/iter) — per-grid-step
-        # fixed costs outweigh the skipped tiles at these sizes.  It wins
-        # only at much larger K with very sparse kernel lists.
-        mode = cfg.use_pallas
-        base = resolve_pallas("on" if mode == "packed" else mode)
-        self.pallas = base + (mode == "packed",)
+        if cfg.use_pallas == "packed":
+            # the in-kernel tile-culling variant was REMOVED in round 4:
+            # it measured slower than capped-dense at every size tried
+            # (90 vs 31.5 ms @K=576; 139 vs 64 @K=2304) and conclusively
+            # faulted the TPU worker at the 4K/K=9216 trainer config
+            # (bench_4k --packed, 2026-08-19; ROADMAP item 5) — the code
+            # lives in git history (kernels/gate_expert_sparse.py,
+            # pre-round-4)
+            raise ValueError(
+                "use_pallas='packed' was removed: capped-dense ('auto') "
+                "is faster at every measured size and the packed kernel "
+                "faulted the TPU runtime at large K (see ROADMAP.md)")
+        self.pallas = resolve_pallas(cfg.use_pallas)
         if self.kernel_axis is not None:
             # the fused Pallas kernel normalizes the gating in-VMEM and
             # cannot psum mid-kernel; under K-sharding each device runs the
@@ -1060,9 +1063,8 @@ class Smoe:
         return self._k_cap_cache[0]
 
     def _capped_mode(self) -> bool:
-        """Capped-dense width applies: fused kernel on, not packed mode."""
-        pal = self._compiled.pallas
-        return bool(pal[0]) and not (len(pal) > 2 and pal[2])
+        """Capped-dense width applies when the fused kernel is on."""
+        return bool(self._compiled.pallas[0])
 
     def _cap_bucket(self, count: int) -> Optional[int]:
         """128-lane bucket for a kernel count; None = full width."""

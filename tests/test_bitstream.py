@@ -825,14 +825,14 @@ class TestGammaAnchor:
         ra = rescaler(qa, cfg_anchor)
         # what matters is the EXPERT SURFACE over each kernel's support,
         # res(x) = gamma^T x + nu: measure slope error in the whitened
-        # (per-Mahalanobis-unit) metric, i.e. the surface error one
-        # Mahalanobis unit from the center
-        from smoe_tpu.codec.quantize import _whiten_matrix
+        # (per-bandwidth-unit) metric — the surface error one kernel
+        # width from the center along each axis
+        from smoe_tpu.codec.quantize import _whiten_scale
         A = np.asarray(params["A_diagonal"]) + np.asarray(params["A_corr"])
-        Minv = np.linalg.inv(_whiten_matrix(A, 1.0))
+        inv_s = 1.0 / _whiten_scale(A, 1.0)[:, :, None]
         g0 = np.asarray(params["gamma_e"], np.float64)
-        err_p = np.max(np.abs(Minv @ (rp["gamma_e"] - g0)))
-        err_a = np.max(np.abs(Minv @ (ra["gamma_e"] - g0)))
+        err_p = np.max(np.abs(inv_s * (rp["gamma_e"] - g0)))
+        err_a = np.max(np.abs(inv_s * (ra["gamma_e"] - g0)))
         assert err_a < 0.3 * err_p, (err_p, err_a)
         # the other groups are coded identically
         for name in ("A", "musX", "pis", "nu_e"):

@@ -215,148 +215,11 @@ def test_fused_in_training_sweep():
     assert mse < m0
 
 
-class TestPackedSparse:
-    """Block-sparse packed kernel (kernels/gate_expert_sparse.py)."""
-
-    def _inputs(self, n=70, k=9, active=5, seed=3, e=3, c=3, f=7):
-        rng = np.random.default_rng(seed)
-        phi = jnp.asarray(rng.normal(0, 1, (n, f)), jnp.float32)
-        xe = jnp.asarray(rng.normal(0, 1, (n, e)), jnp.float32)
-        q = jnp.asarray(rng.normal(0, 1, (k, f)), jnp.float32)
-        G = jnp.asarray(rng.normal(0, 1, (k, e * c)), jnp.float32)
-        pi = jnp.asarray(rng.uniform(0.1, 0.5, (k,)), jnp.float32)
-        mask = np.zeros((k,), np.float32)
-        mask[:active] = 1.0          # already packed: active first
-        pi = pi * jnp.asarray(mask)
-        return phi, xe, q, G, pi, jnp.asarray(mask)
-
-    def test_packed_matches_dense(self):
-        from smoe_tpu.kernels.gate_expert import fused_gate_expert
-        from smoe_tpu.kernels.gate_expert_sparse import \
-            fused_gate_expert_packed
-
-        phi, xe, q, G, pi, mask = self._inputs()
-        n = phi.shape[0]
-        res_d, surv_d = fused_gate_expert(phi, xe, q, G, pi, mask,
-                                          1e-3, 1e-11, n, True)
-        res_p, surv_p = fused_gate_expert_packed(
-            phi, xe, q, G, pi, mask, None, None, 1e-3, 1e-11, n, True)
-        np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_d),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(surv_p), np.asarray(surv_d),
-                                   rtol=1e-5, atol=1e-6)
-
-    def test_packed_gradients_match_dense(self):
-        from smoe_tpu.kernels.gate_expert import fused_gate_expert
-        from smoe_tpu.kernels.gate_expert_sparse import \
-            fused_gate_expert_packed
-
-        phi, xe, q, G, pi, mask = self._inputs(seed=7)
-        n = phi.shape[0]
-
-        def loss_d(q, G, pi):
-            res, _ = fused_gate_expert(phi, xe, q, G, pi, mask,
-                                       1e-3, 1e-11, n, True)
-            return jnp.sum(jnp.sin(res))
-
-        def loss_p(q, G, pi):
-            res, _ = fused_gate_expert_packed(
-                phi, xe, q, G, pi, mask, None, None, 1e-3, 1e-11, n, True)
-            return jnp.sum(jnp.sin(res))
-
-        gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, G, pi)
-        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, G, pi)
-        for a, b, name in zip(gp, gd, ("q", "G", "pi")):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=1e-6,
-                                       err_msg=f"packed grad {name}")
-
-    def test_forward_fused_packed_end_to_end(self):
-        """Unpacked caller path: forward_fused(packed=True) re-sorts and
-        scatters survivors back to original kernel order."""
-        from smoe_tpu.core.model import forward_fused, smoe_forward
-        from smoe_tpu.core.params import assemble_A
-
-        cfg, params, coords = _setup(seed=11)
-        kmask = np.ones((params.capacity,), bool)
-        kmask[1::2] = False           # interleaved inactive kernels
-        kmask = jnp.asarray(kmask)
-        out_xla = smoe_forward(params, cfg, coords, kmask)
-        A = assemble_A(params, cfg)
-        out_p = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
-                              params.pis, cfg, coords, kmask,
-                              interpret=True, packed=True)
-        np.testing.assert_allclose(np.asarray(out_p.res),
-                                   np.asarray(out_xla.res),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(out_p.survivors),
-                                      np.asarray(out_xla.survivors))
-
-    def test_tile_cull_matches_dense(self):
-        """Hierarchical per-pixel-tile culling (patch order + [phi(center),
-        radius] descriptors) must reproduce the dense result: skipped tiles
-        only drop contributions that underflow f32."""
-        from smoe_tpu.core.model import forward_fused, smoe_forward
-        from smoe_tpu.core.params import assemble_A
-        from smoe_tpu.config import SmoeConfig
-        from smoe_tpu.core.init import init_params, gen_domain
-
-        rng = np.random.default_rng(5)
-        img = rng.uniform(0.2, 0.8, (64, 64, 1)).astype(np.float32)
-        cfg = SmoeConfig(dim_domain=2, num_channels=1,
-                         kernels_per_dim=(4, 4), use_yuv=False)
-        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
-        # sharpen steering hard so far tiles genuinely cull (A ~ 600)
-        params = params.replace(a_diag=params.a_diag * 60.0)
-        coords = jnp.asarray(gen_domain(img, 2).reshape(-1, 2))
-        kmask = jnp.ones((params.capacity,), bool)
-        out_xla = smoe_forward(params, cfg, coords, kmask)
-        A = assemble_A(params, cfg)
-        out_p = forward_fused(A, params.musX, params.nu_e, params.gamma_e,
-                              params.pis, cfg, coords, kmask,
-                              interpret=True, packed=True,
-                              spatial=(64, 64))
-        np.testing.assert_allclose(np.asarray(out_p.res),
-                                   np.asarray(out_xla.res),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(out_p.survivors),
-                                      np.asarray(out_xla.survivors))
-
-    def test_tile_cull_gradients_match(self):
-        """Gradients through the culled packed path == the un-culled fused
-        gradients (tile culling must only skip work that underflows; the
-        fused family's f32 deviation from XLA is covered elsewhere)."""
-        from smoe_tpu.core.model import forward_fused
-        from smoe_tpu.core.params import assemble_A
-        from smoe_tpu.config import SmoeConfig
-        from smoe_tpu.core.init import init_params, gen_domain
-
-        rng = np.random.default_rng(9)
-        img = rng.uniform(0.2, 0.8, (32, 32, 1)).astype(np.float32)
-        cfg = SmoeConfig(dim_domain=2, num_channels=1,
-                         kernels_per_dim=(4, 4), use_yuv=False)
-        params = jax.tree_util.tree_map(jnp.asarray, init_params(img, cfg))
-        params = params.replace(a_diag=params.a_diag * 40.0)
-        coords = jnp.asarray(gen_domain(img, 2).reshape(-1, 2))
-        kmask = jnp.ones((params.capacity,), bool)
-        tgt = jnp.asarray(img.reshape(-1, 1))
-
-        def mk_loss(spatial):
-            def loss(p):
-                A = assemble_A(p, cfg)
-                out = forward_fused(A, p.musX, p.nu_e, p.gamma_e, p.pis,
-                                    cfg, coords, kmask, interpret=True,
-                                    packed=True, spatial=spatial)
-                return jnp.mean((out.res - tgt) ** 2)
-            return loss
-
-        g_nocull = jax.grad(mk_loss(None))(params)
-        g_cull = jax.grad(mk_loss((32, 32)))(params)
-        for f in ("musX", "a_diag", "pis", "nu_e", "gamma_e"):
-            np.testing.assert_allclose(
-                np.asarray(getattr(g_cull, f)),
-                np.asarray(getattr(g_nocull, f)),
-                rtol=1e-6, atol=1e-30, err_msg=f)
+class TestCappedDense:
+    """Capped-dense block sparsity (the winning mechanism; the packed
+    in-kernel tile-culling variant was REMOVED in round 4 after it
+    measured slower at every size and faulted the TPU worker at the
+    4K/K=9216 trainer config — ROADMAP item 5)."""
 
     def test_capped_dense_matches_uncapped(self):
         """Capped-dense mode (k_cap < K): gathering only the listed kernels
@@ -425,22 +288,13 @@ class TestPackedSparse:
         m_off = fit("off")
         np.testing.assert_allclose(m_on, m_off, rtol=2e-3)
 
-    def test_training_sweep_with_packed_blocks(self):
-        """Multi-block training on CPU uses the packed path (use_pallas=on,
-        B>1) and converges."""
+    def test_packed_mode_removed(self):
+        """use_pallas='packed' is rejected with a pointer to the negative
+        result (the kernel lives in git history)."""
+        import pytest
         from smoe_tpu.fit.trainer import Smoe
 
-        rng = np.random.default_rng(4)
-        y, x = np.mgrid[0:16, 0:16] / 15.0
-        img = np.stack([0.5 + 0.3 * np.sin(4 * x),
-                        0.5 + 0.2 * np.cos(3 * y),
-                        np.full_like(x, 0.5)], -1).astype(np.float32)
-        s = Smoe(img, kernels_per_dim=[3], batch_size=(8, 8),
+        img = np.full((8, 8, 1), 0.5, np.float32)
+        with pytest.raises(ValueError, match="packed"):
+            Smoe(img, kernels_per_dim=[2], use_yuv=False,
                  use_pallas="packed")
-        assert s._compiled.pallas[2]              # packed active
-        s.set_optimizer()
-        l0, m0, *_ = s.run_batched(train=False)
-        for _ in range(8):
-            loss, mse, npi, _ = s.run_batched(train=True)
-        assert np.isfinite(loss)
-        assert mse < m0
