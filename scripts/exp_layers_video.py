@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--static", action="store_true",
                     help="the fit used the pure-pan clip")
+    ap.add_argument("--nuanchor", action="store_true",
+                    help="center-anchored nu coding (use for LS fits, "
+                         "VERDICT r3 #7)")
+    ap.add_argument("--bd", type=int, nargs=5, default=None,
+                    help="bit depths A/mu/nu/pi/gamma (default reference)")
     args = ap.parse_args()
 
     # the bench clip is deterministic — rebuild it as the PSNR target
@@ -46,7 +51,9 @@ def main():
     from smoe_tpu.cli.reconstruct import main as rec_main
     rec_dir = os.path.join(tmp, "rec")
     rec_main(["-i", clip, "-p", args.params, "-r", rec_dir,
-              "--layers", str(args.layers)])
+              "--layers", str(args.layers)]
+             + (["-nuanchor", "1"] if args.nuanchor else [])
+             + (["-bd"] + [str(b) for b in args.bd] if args.bd else []))
     lay = os.path.join(rec_dir, "model.smoe")
 
     from smoe_tpu.codec.bitstream import read_header

@@ -38,6 +38,12 @@ CONFIGS = [
     ("ulean+nuanchor+ganchor", ULEAN,
      ["-nuanchor", "1", "-ganchor", "1"], True),
     ("ulean-g8+nuanchor", ULEAN_G8, ["-nuanchor", "1"], True),
+    # LS fits carry more information in the expert offsets: nu6/nu8 are
+    # the measured limiter on LS-refreshed video fits (round 4 nu-knee
+    # probe) — nu10 variants locate the corrected knee
+    ("ulean-nu10+nuanchor", (8, 10, 10, 10, 6), ["-nuanchor", "1"], True),
+    ("ulean-nu10-g8+nuanchor", (8, 10, 10, 10, 8),
+     ["-nuanchor", "1"], True),
     ("lean+nuanchor", LEAN, ["-nuanchor", "1"], True),
     ("lean+nuanchor+ganchor", LEAN,
      ["-nuanchor", "1", "-ganchor", "1"], True),
