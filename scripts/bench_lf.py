@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--ulean", action="store_true",
                     help="code with the ultra-lean allocation "
                          "A8/mu10/nu8/pi10/g6 (per-group knee)")
+    ap.add_argument("--lslean", action="store_true",
+                    help="code with the LS-fit knee A8/mu10/nu10/pi10/g8 "
+                         "(fit -lslean 1)")
     ap.add_argument("--lsinit", action="store_true",
                     help="closed-form LS expert init (fit -lsinit kernel)")
     ap.add_argument("--lsri", type=int, default=0,
@@ -122,6 +125,8 @@ def main():
         argv += ["-lean", "1"]
     if args.ulean:
         argv += ["-ulean", "1"]
+    if args.lslean:
+        argv += ["-lslean", "1"]
     if args.lsinit:
         argv += ["-lsinit", "kernel"]
     if args.lsinit or args.lsri:
@@ -183,6 +188,7 @@ def main():
                   + (f", pg={args.pg}" if args.pg else "")
                   + (", lean" if args.lean else "")
                   + (", ulean" if args.ulean else "")
+                  + (", lslean" if args.lslean else "")
                   + (", lsinit" if args.lsinit else "")
                   + (f", lsri={args.lsri}" if args.lsri else "")
                   + (", ganchor" if args.ganchor else "")

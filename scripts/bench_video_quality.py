@@ -86,6 +86,11 @@ def main():
                     help="code with the lean bit allocation "
                          "A10/mu12/nu8/pi10/g8 (-lean 1; RD study "
                          "scripts/exp_a_domain.py)")
+    ap.add_argument("--lslean", action="store_true",
+                    help="code with the LS-fit knee A8/mu10/nu10/pi10/g8 "
+                         "(fit -lslean 1; round-4 probes — the Adam-era "
+                         "knees under-provision nu and gamma on "
+                         "LS-refreshed fits)")
     ap.add_argument("--ulean", action="store_true",
                     help="code with the ultra-lean allocation "
                          "A8/mu10/nu8/pi10/g6 (per-group knee; halves "
@@ -121,6 +126,7 @@ def main():
         "-qm", "1",
     ] + (["-lean", "1"] if args.lean else [])
       + (["-ulean", "1"] if args.ulean else [])
+      + (["-lslean", "1"] if args.lslean else [])
       + (["-ukl", str(args.ukl)] if args.ukl else [])
       + (["-iukl", "1"] if args.iukl else [])
       + (["-pmt", str(args.pmt)] if args.pmt is not None else [])
@@ -180,6 +186,7 @@ def main():
                   f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
                   + (", lean" if args.lean else "")
                   + (", ulean" if args.ulean else "")
+                  + (", lslean" if args.lslean else "")
                   + (f", ukl={args.ukl}" if args.ukl else "")
                   + (", iukl" if args.iukl else "")
                   + (f", pmt={args.pmt}" if args.pmt is not None else "")

@@ -73,6 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "bits vs reference depths at <=0.03 dB; one step "
                         "lower in any group costs 0.2-2.6 dB).  Takes "
                         "precedence over -lean")
+    p.add_argument("-lslean", "--ls_lean_bits", type=str2bool,
+                   default=False,
+                   help="override -bd with the LS-fit transparency knee "
+                        "A8/mu10/nu10/pi10/g8 (round-4 probes: LS-refreshed "
+                        "fits need nu10 — their experts carry more offset "
+                        "information than the Adam-era knee's nu8 — and g8 "
+                        "where -ulean's g6 costs ~4 dB).  Use with "
+                        "-lsinit/-lsri fits; pairs with -nuanchor 1.  "
+                        "Measured: 33.83 dB @ 0.525 bpp on the CIF "
+                        "lsri-initial fit (ref depths: 34.19 @ 0.96).  "
+                        "Takes precedence over -lean/-ulean")
     p.add_argument("-qp", "--quantize_pis", type=str2bool, default=True)
     p.add_argument("-lb", "--lower_bounds", type=float, nargs="+",
                    default=[-2500, -0.3, -5, 0, -32])
@@ -194,6 +205,8 @@ def main(args=None):
         args.bit_depths = [10, 12, 8, 10, 8]     # A, musX, nu_e, pis, gamma_e
     if args.ultra_lean_bits:
         args.bit_depths = [8, 10, 8, 10, 6]      # per-group knee (round 3)
+    if args.ls_lean_bits:
+        args.bit_depths = [8, 10, 10, 10, 8]     # LS-fit knee (round 4)
     if args.num_params_model not in (2, 4, 6, 8):
         raise ValueError(f"num_params_model == {args.num_params_model} "
                          "is not a valid motion parameter model")

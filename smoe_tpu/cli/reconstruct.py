@@ -34,6 +34,11 @@ def main(args=None):
                    help="quantize/code with the ultra-lean allocation "
                         "A8/mu10/nu8/pi10/g6 (the measured per-group "
                         "transparency knee; see cli/fit.py -ulean)")
+    p.add_argument("-lslean", "--ls_lean_bits", type=lambda v: v.lower()
+                   in ("1", "true", "yes"), default=False,
+                   help="quantize/code with the LS-fit knee "
+                        "A8/mu10/nu10/pi10/g8 (see cli/fit.py -lslean); "
+                        "takes precedence over -lean/-ulean")
     p.add_argument("-nuanchor", "--nu_anchor", type=lambda v: v.lower()
                    in ("1", "true", "yes"), default=False,
                    help="re-code nu at the decoded kernel CENTER (see "
@@ -70,6 +75,8 @@ def main(args=None):
         a.bit_depths = [10, 12, 8, 10, 8]
     if a.ultra_lean_bits:
         a.bit_depths = [8, 10, 8, 10, 6]
+    if a.ls_lean_bits:
+        a.bit_depths = [8, 10, 10, 10, 8]
     if a.prune is not None and a.prune_bpp is not None:
         p.error("--prune and --prune-bpp are mutually exclusive")
     if (a.prune is not None or a.prune_bpp is not None) and not a.quantize:
