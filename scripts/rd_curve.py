@@ -53,15 +53,18 @@ def main():
         family = raw[i + 1]
         raw = raw[:i] + raw[i + 2:]
     argv = [a for a in raw
-            if a not in ("--dp", "--lean", "--ulean", "--lsinit", "--lsri",
-                         "--prune")]
+            if a not in ("--dp", "--lean", "--ulean", "--lslean",
+                         "--lsinit", "--lsri", "--prune", "--ganchor")]
     use_dp = "--dp" in raw
     lean = "--lean" in raw
     ulean = "--ulean" in raw
+    lslean = "--lslean" in raw
     lsinit = "--lsinit" in raw
     lsri = "--lsri" in raw
     prune = "--prune" in raw
-    bit_depths = ((8, 10, 8, 10, 6) if ulean else
+    ganchor = "--ganchor" in raw
+    bit_depths = ((8, 10, 10, 10, 8) if lslean else
+                  (8, 10, 8, 10, 6) if ulean else
                   (10, 12, 8, 10, 8) if lean else (20, 18, 6, 10, 10))
     if argv and not argv[0].isdigit():
         img, precision, _ = read_image(argv[0])
@@ -105,7 +108,7 @@ def main():
 
         s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
                  precision=precision, bit_depths=bit_depths,
-                 nu_anchor=lsinit)
+                 nu_anchor=lsinit, gamma_anchor=ganchor)
         devs = jax.devices()
         mesh = Mesh(np.asarray(devs[:len(pis_vals)]), ("m",)) \
             if len(devs) >= len(pis_vals) else None
@@ -122,7 +125,7 @@ def main():
         for pis_l1 in pis_vals:
             s = Smoe(img, kernels_per_dim=[12], use_yuv=img.shape[-1] == 3,
                      precision=precision, bit_depths=bit_depths,
-                     nu_anchor=lsinit or lsri)
+                     nu_anchor=lsinit or lsri, gamma_anchor=ganchor)
             s.set_optimizer()
             if lsinit or lsri:
                 s.ls_init_experts(mode="kernel")
@@ -138,7 +141,8 @@ def main():
             points.append(measure(s, pis_l1))
 
     print(json.dumps({"metric": "rd_curve", "family": family,
-                      "points": points}))
+                      "bit_depths": list(bit_depths),
+                      "ganchor": ganchor, "points": points}))
 
 
 if __name__ == "__main__":
