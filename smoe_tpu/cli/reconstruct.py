@@ -49,6 +49,15 @@ def main(args=None):
                    help="re-code gamma in the steering-whitened basis (see "
                         "cli/fit.py -ganchor; decode-exact, old files "
                         "unaffected)")
+    p.add_argument("--auto-bd", type=float, default=None, metavar="TOL_DB",
+                   help="search the per-group bit allocation for THIS fit "
+                        "(codec/alloc.py): greedy descent from a generous "
+                        "allocation, accepting reductions while the real "
+                        "quantized decode stays within TOL_DB of it.  The "
+                        "knee is fit-dependent (round 4: LS fits need "
+                        "nu10/g8 where Adam fits are fine at nu8/g6), so "
+                        "this replaces hand-picked -lean/-ulean/-lslean "
+                        "knees with a measured one.  Overrides -bd")
     p.add_argument("-layers", "--layers", type=int, default=None,
                    help="write an SNR-scalable LAYERED bitstream with N "
                         "importance-ordered kernel tiers — any tier "
@@ -125,6 +134,17 @@ def main(args=None):
 
     os.makedirs(a.results_path, exist_ok=True)
     if a.quantize:
+        if a.auto_bd is not None:
+            # per-FIT allocation search (codec/alloc.py): the knee is
+            # fit-dependent (Adam vs LS fits, round 4), so measure it on
+            # this model through the real quantized decode
+            from smoe_tpu.codec.alloc import search_bit_depths
+            bd, p_at, p_ref = search_bit_depths(
+                smoe, tol_db=float(a.auto_bd),
+                log=lambda m: print(m, flush=True))
+            smoe.cfg = smoe.cfg.replace(bit_depths=bd)
+            print(f"auto-bd: {list(bd)} "
+                  f"({p_at:.2f} dB vs generous {p_ref:.2f} dB)")
         smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg,
                                        musX_grid=smoe.musX_grid)
 

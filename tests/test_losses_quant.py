@@ -302,3 +302,45 @@ class TestDiffCenterCodec:
                                    with_quantized_params=True)
         # 18-bit musX / 20-bit A quantization: near-lossless decode
         assert abs(qm - m) / m < 0.05
+
+
+class TestAutoAllocation:
+    """codec/alloc.search_bit_depths: the per-fit transparency knee,
+    measured through the real quantized decode (round 4 — allocation
+    knees are fit-dependent, so the encoder searches instead of trusting
+    a hand-picked -lean/-ulean/-lslean table)."""
+
+    def _fit(self, toy_rgb, iters=40):
+        from smoe_tpu.fit.trainer import Smoe
+        s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True)
+        s.set_optimizer()
+        s.run_batched_chunk(iters)
+        return s
+
+    def test_search_properties(self, toy_rgb):
+        from smoe_tpu.codec.alloc import search_bit_depths, START
+        s = self._fit(toy_rgb)
+        bd, p_at, p_ref = search_bit_depths(s, tol_db=0.1)
+        assert all(b <= s0 for b, s0 in zip(bd, START))
+        assert all(b >= 4 for b in bd)
+        assert p_at >= p_ref - 0.1 - 1e-6
+        # a short Adam fit keeps tiny slopes: gamma must compress far
+        # below its generous 14-bit start
+        assert bd[4] <= 10, bd
+        # the trainer's qparams are left at the CHOSEN allocation
+        assert s.qparams is not None
+
+    def test_cli_auto_bd(self, toy_rgb, tmp_path):
+        import os
+        from smoe_tpu.codec.container import save_model
+        from smoe_tpu.cli.reconstruct import main as rec_main
+        from smoe_tpu.io.images import write_image
+
+        s = self._fit(toy_rgb)
+        img_path = write_image(toy_rgb, str(tmp_path / "img"), 2, yuv=False)
+        pkl = str(tmp_path / "p.pkl")
+        save_model(pkl, s.get_params(), s.cfg, musX_grid=s.musX_grid)
+        out = str(tmp_path / "rec")
+        rec_main(["-i", img_path, "-p", pkl, "-r", out,
+                  "--auto-bd", "0.1"])
+        assert os.path.exists(os.path.join(out, "model.smoe"))
