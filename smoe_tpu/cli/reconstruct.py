@@ -138,12 +138,16 @@ def main(args=None):
             # per-FIT allocation search (codec/alloc.py): the knee is
             # fit-dependent (Adam vs LS fits, round 4), so measure it on
             # this model through the real quantized decode
-            from smoe_tpu.codec.alloc import search_bit_depths
+            from smoe_tpu.codec.alloc import (START, choose_anchors,
+                                              search_bit_depths)
+            _log = lambda m: print(m, flush=True)   # noqa: E731
+            smoe.cfg = smoe.cfg.replace(bit_depths=START)
+            nu_a, g_a, _ = choose_anchors(smoe, log=_log)
             bd, p_at, p_ref = search_bit_depths(
-                smoe, tol_db=float(a.auto_bd),
-                log=lambda m: print(m, flush=True))
+                smoe, tol_db=float(a.auto_bd), log=_log)
             smoe.cfg = smoe.cfg.replace(bit_depths=bd)
-            print(f"auto-bd: {list(bd)} "
+            print(f"auto-bd: {list(bd)} nu_anchor={int(nu_a)} "
+                  f"gamma_anchor={int(g_a)} "
                   f"({p_at:.2f} dB vs generous {p_ref:.2f} dB)")
         smoe.qparams = quantize_params(smoe.get_params(), smoe.cfg,
                                        musX_grid=smoe.musX_grid)

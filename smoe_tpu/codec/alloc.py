@@ -51,6 +51,31 @@ def _quantized_psnr(smoe, bit_depths: Tuple[int, ...]) -> float:
     return float(psnr_from_mse(qmse, smoe.cfg.precision))
 
 
+def choose_anchors(smoe, log=None) -> Tuple[bool, bool, float]:
+    """Pick (nu_anchor, gamma_anchor) by MEASURED quantized decode.
+
+    Round-4 finding: the center-anchored nu coding helps LS-refreshed
+    fits (+3.4 dB on the video lsri fit) but HURT one lsinit-only fit by
+    3 dB (an outlier kernel's gamma.mu stretched the anchored bounds
+    past the origin-nu range), and gamma whitening measured negative on
+    every video/LF fit tried — the right transform is a per-fit
+    measurement, not a recipe rule.  4 evals; sets smoe.cfg to the
+    winner (the flags ride the bitstream header, so decoders follow
+    automatically).  Returns (nu_anchor, gamma_anchor, psnr)."""
+    best = None
+    for nu_a, g_a in ((False, False), (True, False), (True, True),
+                      (False, True)):
+        smoe.cfg = smoe.cfg.replace(nu_anchor=nu_a, gamma_anchor=g_a)
+        p = _quantized_psnr(smoe, smoe.cfg.bit_depths)
+        if log:
+            log(f"auto-anchor: nu={int(nu_a)} gamma={int(g_a)} "
+                f"-> {p:.3f} dB")
+        if best is None or p > best[2]:
+            best = (nu_a, g_a, p)
+    smoe.cfg = smoe.cfg.replace(nu_anchor=best[0], gamma_anchor=best[1])
+    return best
+
+
 def search_bit_depths(smoe, tol_db: float = 0.05,
                       start: Optional[Tuple[int, ...]] = None,
                       floor: int = FLOOR,

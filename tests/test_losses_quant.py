@@ -344,3 +344,35 @@ class TestAutoAllocation:
         rec_main(["-i", img_path, "-p", pkl, "-r", out,
                   "--auto-bd", "0.1"])
         assert os.path.exists(os.path.join(out, "model.smoe"))
+
+    def test_choose_anchors_picks_measured_max(self, toy_rgb):
+        """The anchor search's contract: it returns (and sets on cfg) the
+        candidate with the maximum MEASURED quantized-decode PSNR — the
+        per-fit selection that round 4 showed is necessary (nuanchor
+        +3.4 dB on the lsri video fit, −3.1 dB on an lsinit-only fit)."""
+        import numpy as np
+        from smoe_tpu.codec.alloc import choose_anchors, _quantized_psnr
+        from smoe_tpu.fit.trainer import Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[4], quantize_pis=True,
+                 bit_depths=(20, 18, 6, 10, 10))
+        rng = np.random.default_rng(0)
+        k, d = np.asarray(s.params.musX).shape
+        c = np.asarray(s.params.nu_e).shape[-1]
+        gam = rng.uniform(-2, 2, (k, d, c)).astype(np.float32)
+        v_center = rng.uniform(0.2, 0.8, (k, c)).astype(np.float32)
+        nu = v_center - np.einsum("kd,kdc->kc", np.asarray(s.params.musX),
+                                  gam)
+        s.params = s.params.replace(nu_e=np.asarray(nu, np.float32),
+                                    gamma_e=gam)
+        s.valid = False
+        cands = {}
+        for nu_a, g_a in ((False, False), (True, False), (True, True),
+                          (False, True)):
+            s.cfg = s.cfg.replace(nu_anchor=nu_a, gamma_anchor=g_a)
+            cands[(nu_a, g_a)] = _quantized_psnr(s, s.cfg.bit_depths)
+        nu_a, g_a, p = choose_anchors(s)
+        best = max(cands, key=cands.get)
+        assert (nu_a, g_a) == best, (cands, nu_a, g_a)
+        assert abs(p - cands[best]) < 1e-6
+        assert s.cfg.nu_anchor is nu_a and s.cfg.gamma_anchor is g_a
