@@ -272,6 +272,11 @@ def forward_fused(A: jnp.ndarray, musX: jnp.ndarray, nu_e: jnp.ndarray,
     """
     from smoe_tpu.kernels.gate_expert import fused_gate_expert
 
+    if not k_cap:
+        # a falsy cap (None/0/False) means "no cap", never "width 0" — a
+        # stale packed-mode bool in the fused tuple once reached here as
+        # k_cap=False and built a zero-width kernel (round 4)
+        k_cap = None
     if cfg.train_inverse_cov:
         B = A
     else:

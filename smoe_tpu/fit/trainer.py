@@ -657,7 +657,7 @@ class _Compiled:
         self._train_fns[key] = fn
         return fn
 
-    def eval_sweep_fn(self, with_rec: bool = True):
+    def eval_sweep_fn(self, with_rec: bool = True, exact: bool = False):
         """Jitted eval sweep.
 
         with_rec=True: full outputs (stitchable reconstruction, gating
@@ -665,8 +665,19 @@ class _Compiled:
         with_rec=False: light validation — loss/mse/survivors/num_pi only,
         through the FUSED forward (no (N, K) gating map is ever formed);
         used by train() when nothing consumes the reconstruction.
+        exact=True: force the XLA forward even for the light sweep.  Codec
+        measurement (quantized-params evals: auto-bd / anchor selection /
+        prune sweeps / qm>=1 q-validation) MUST be decode-exact: the fused
+        kernel's MXU dots truncate f32 inputs to bf16 and the quadratic-
+        feature maha cancels large A^2-scale terms, which measured
+        14 dB off on a dequantized 4D LF fit and ~7 dB on dual-model video
+        (TPU, round 4) while the XLA path carries Precision.HIGHEST
+        (core/model.py) and matches the serving decoder to 1 LSB.  Float
+        (training) evals keep the fused path: train-best vs decode parity
+        measured <= 0.05 dB on the video headline fits.
         """
-        attr = "_eval_fn" if with_rec else "_eval_fn_light"
+        attr = "_eval_fn" if with_rec else (
+            "_eval_fn_exact" if exact else "_eval_fn_light")
         if hasattr(self, attr):
             return getattr(self, attr)
         cfg = self.cfg
@@ -687,7 +698,7 @@ class _Compiled:
                     jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
                 sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
             out = _forward_eff(eff, cfg, coords, kmask, model_mask,
-                               fused=(False, False) if with_rec
+                               fused=(False, False) if (with_rec or exact)
                                else self.pallas,
                                sv_add=sv_add if with_sv else None,
                                spatial=bset.block_padded)
@@ -1158,7 +1169,9 @@ class Smoe:
             eff = self._eff_from_rparams()
         else:
             eff = effective_params(self.params, self.cfg, self.musX_grid)
-        fn = self._compiled.eval_sweep_fn(with_rec=bool(update_reconstruction))
+        fn = self._compiled.eval_sweep_fn(
+            with_rec=bool(update_reconstruction),
+            exact=bool(with_quantized_params))
         kl = self.kernel_lists
         if getattr(self.cfg, "in_graph_ukl", False):
             # DENSE validation: the probe grid samples the block boundary,

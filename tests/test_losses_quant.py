@@ -376,3 +376,34 @@ class TestAutoAllocation:
         assert (nu_a, g_a) == best, (cands, nu_a, g_a)
         assert abs(p - cands[best]) < 1e-6
         assert s.cfg.nu_anchor is nu_a and s.cfg.gamma_anchor is g_a
+
+
+class TestQuantizedEvalExactPath:
+    def test_quantized_eval_routes_to_exact_xla(self, toy_rgb):
+        """Codec measurement must be decode-exact: with_quantized_params
+        evals route through the XLA forward (Precision.HIGHEST), never the
+        fused Pallas kernel whose MXU dots truncate f32 inputs to bf16
+        (measured 14 dB off on a dequantized 4D LF fit, 7 dB on dual-model
+        video — TPU, round 4)."""
+        from smoe_tpu.codec.quantize import quantize_params, rescaler
+        from smoe_tpu.fit.trainer import Smoe
+
+        # use_pallas='on' so the light (float) eval WOULD take the fused
+        # path — the quantized eval must not
+        s = Smoe(toy_rgb, kernels_per_dim=[4], use_pallas="on",
+                 bit_depths=(20, 18, 6, 10, 10))
+        s.qparams = quantize_params(s.get_params(), s.cfg,
+                                    musX_grid=s.musX_grid)
+        s.rparams = rescaler(s.qparams, s.cfg, None)
+        _, qmse, _, _ = s.run_batched(train=False,
+                                      with_quantized_params=True)
+        assert hasattr(s._compiled, "_eval_fn_exact")
+        assert not hasattr(s._compiled, "_eval_fn_light")
+        # and the float light eval still uses (and caches) the fused path
+        s.run_batched(train=False)
+        assert hasattr(s._compiled, "_eval_fn_light")
+        # exact quantized eval == the with_rec (XLA) eval, bit-for-bit
+        _, qmse_rec, _, _ = s.run_batched(train=False,
+                                          update_reconstruction=True,
+                                          with_quantized_params=True)
+        assert qmse == qmse_rec

@@ -166,7 +166,7 @@ def test_dual_model_fused_matches_xla():
 
     out_xla = _forward_eff(eff, s.cfg, coords, kmask, s.model_mask)
     out_fused = _forward_eff(eff, s.cfg, coords, kmask, s.model_mask,
-                             fused=(True, True, False))
+                             fused=(True, True))
     # both paths are exact up to float addition order; borderline pixels
     # may flip one output-quantization step (1/255)
     np.testing.assert_allclose(np.asarray(out_fused.res),
