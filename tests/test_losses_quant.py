@@ -407,3 +407,28 @@ class TestQuantizedEvalExactPath:
                                           update_reconstruction=True,
                                           with_quantized_params=True)
         assert qmse == qmse_rec
+
+    def test_search_consistent_with_final_decode_dual_model_video(self):
+        """The invariant the round-4 TPU bug violated: the search's
+        reported PSNR at the chosen depths must equal an independent
+        re-eval at those depths on the dual-model video path (the fused
+        eval had read ~7 dB off the real decode, mis-ranking every
+        candidate)."""
+        import numpy as np
+        from smoe_tpu.codec.alloc import search_bit_depths, _quantized_psnr
+        from smoe_tpu.fit.trainer import Smoe
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0.2, 0.8, (12, 12, 3)).astype(np.float32)
+        vid = np.stack([np.roll(base, i, axis=1) for i in range(3)], axis=2)
+        aff = np.zeros((3, 2, 3), np.float32)
+        aff[:, 0, 0] = aff[:, 1, 1] = 1.0
+        aff[:, 0, 2] = -np.arange(3)
+        s = Smoe(vid, kernels_per_dim=[2, 2, 2], affines=aff, init_flag=1,
+                 quantize_pis=True)
+        s.set_optimizer()
+        s.run_batched_chunk(20)
+        assert s.model_mask is not None          # dual-model path engaged
+        bd, p_at, _ = search_bit_depths(s, tol_db=0.2)
+        p_again = _quantized_psnr(s, bd)
+        assert abs(p_at - p_again) < 1e-5, (bd, p_at, p_again)
