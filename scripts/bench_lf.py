@@ -25,17 +25,41 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_lf(views: int = 15, s: int = 48, seed: int = 3):
+def build_lf(views: int = 15, s: int = 48, seed: int = 3,
+             texture: str = "synth"):
     """(views, views, s, s, 1) grayscale LF in [0,1] with two disparity
     planes: background texture at slope +1.5 px/view, foreground square at
     -2.5 px/view (sampled from a shared oversized texture so every view is
-    an exact shift — the Lambertian planar-scene model)."""
+    an exact shift — the Lambertian planar-scene model).
+
+    texture="hopper" samples both planes from the REAL grace_hopper.jpg
+    photograph (luminance) instead of the sinusoid fields — real natural
+    texture under the same exact-shift disparity geometry."""
     rng = np.random.default_rng(seed)
     pad = int(3.0 * views) + 8
-    yy, xx = np.mgrid[0:s + 2 * pad, 0:s + 2 * pad] / s
-    tex = (0.55 + 0.25 * np.sin(5.1 * yy + 1.0) * np.cos(4.3 * xx)
-           + 0.12 * np.sin(11.0 * (yy + xx)))
-    ftex = 0.35 + 0.3 * np.cos(7.0 * yy) * np.sin(6.2 * xx + 0.5)
+    side = s + 2 * pad
+    if texture == "hopper":
+        import cv2
+        import matplotlib
+        path = os.path.join(os.path.dirname(matplotlib.__file__),
+                            "mpl-data", "sample_data", "grace_hopper.jpg")
+        g = cv2.imread(path, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.
+        if min(g.shape) < side:
+            sc = side / min(g.shape)
+            g = cv2.resize(g, (int(np.ceil(g.shape[1] * sc)),
+                               int(np.ceil(g.shape[0] * sc))),
+                           interpolation=cv2.INTER_CUBIC)
+        gh, gw = g.shape
+        # background from the photo center, foreground plane from the
+        # top-left corner (different real texture per disparity plane)
+        tex = g[(gh - side) // 2:(gh - side) // 2 + side,
+                (gw - side) // 2:(gw - side) // 2 + side].copy()
+        ftex = g[:side, :side].copy()
+    else:
+        yy, xx = np.mgrid[0:side, 0:side] / s
+        tex = (0.55 + 0.25 * np.sin(5.1 * yy + 1.0) * np.cos(4.3 * xx)
+               + 0.12 * np.sin(11.0 * (yy + xx)))
+        ftex = 0.35 + 0.3 * np.cos(7.0 * yy) * np.sin(6.2 * xx + 0.5)
     lf = np.empty((views, views, s, s), np.float32)
     uc = (views - 1) / 2
     d_bg, d_fg = 1.5, -2.5
@@ -96,9 +120,14 @@ def main():
                          "during the fit (0 = reference behavior, corners "
                          "fully excluded; attacks the trained/all-views "
                          "generalization gap)")
+    ap.add_argument("--texture", type=str, default="synth",
+                    choices=["synth", "hopper"],
+                    help="scene texture: synth = sinusoid planes; hopper "
+                         "= both disparity planes sampled from the REAL "
+                         "grace_hopper.jpg photograph")
     args = ap.parse_args()
 
-    lf = build_lf(s=args.s)
+    lf = build_lf(s=args.s, texture=args.texture)
     tmp = tempfile.mkdtemp(prefix="smoe_lfq_")
     mat = os.path.join(tmp, "lf.mat")
     from scipy.io import savemat
@@ -192,7 +221,9 @@ def main():
                   + (", lsinit" if args.lsinit else "")
                   + (f", lsri={args.lsri}" if args.lsri else "")
                   + (", ganchor" if args.ganchor else "")
-                  + (f", cw={args.cw}" if args.cw else ""),
+                  + (f", cw={args.cw}" if args.cw else "")
+                  + (f", texture={args.texture}"
+                     if args.texture != "synth" else ""),
     }))
 
 

@@ -15,30 +15,58 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_video(h=288, w=352, t=8, shift=2.0, moving_obj=False):
+def build_video(h=288, w=352, t=8, shift=2.0, moving_obj=False,
+                texture="synth"):
     """CIF-sized panning scene.
 
     moving_obj=True adds a textured square moving AGAINST the pan — a
     foreground that global motion compensation cannot explain, so the
     per-time-slab reseeding (raw-domain kernels) has real residuals to
-    absorb (the dual-model fg/bg split of reference smoe.py:280-329)."""
+    absorb (the dual-model fg/bg split of reference smoe.py:280-329).
+
+    texture="hopper" pans over matplotlib's bundled grace_hopper.jpg
+    photograph instead of the synthetic sinusoid canvas — REAL natural
+    texture with the same known-affine motion structure (the reference's
+    I/O targets real camera content, /root/reference/utils.py:68-134)."""
     rng = np.random.default_rng(0)
-    y, x = np.mgrid[0:h, 0:w + int(shift * t) + 4]
-    y = y / (h - 1)
-    x = x / (w - 1)
-    wide = np.stack([
-        0.5 + 0.3 * np.sin(6 * x + 2 * y),
-        0.5 + 0.25 * np.cos(4 * x * y + 1.0),
-        0.4 + 0.3 * np.sin(3 * (x + y)),
-    ], axis=-1).astype(np.float32)
-    wide += rng.normal(0, 0.005, wide.shape).astype(np.float32)
+    wide_w = w + int(shift * t) + 4
+    if texture == "hopper":
+        import cv2
+        import matplotlib
+        path = os.path.join(os.path.dirname(matplotlib.__file__),
+                            "mpl-data", "sample_data", "grace_hopper.jpg")
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        ph, pw = bgr.shape[:2]                     # 600 x 512
+        if ph < h or pw < wide_w:
+            s = max(h / ph, wide_w / pw)
+            bgr = cv2.resize(bgr, (int(np.ceil(pw * s)),
+                                   int(np.ceil(ph * s))),
+                             interpolation=cv2.INTER_CUBIC)
+            ph, pw = bgr.shape[:2]
+        r0, c0 = (ph - h) // 2, (pw - wide_w) // 2
+        wide = bgr[r0:r0 + h, c0:c0 + wide_w, ::-1].astype(np.float32) / 255.0
+    else:
+        y, x = np.mgrid[0:h, 0:wide_w]
+        y = y / (h - 1)
+        x = x / (w - 1)
+        wide = np.stack([
+            0.5 + 0.3 * np.sin(6 * x + 2 * y),
+            0.5 + 0.25 * np.cos(4 * x * y + 1.0),
+            0.4 + 0.3 * np.sin(3 * (x + y)),
+        ], axis=-1).astype(np.float32)
+        wide += rng.normal(0, 0.005, wide.shape).astype(np.float32)
     frames = [wide[:, int(shift * i):int(shift * i) + w].copy()
               for i in range(t)]
     if moving_obj:
         oy, ox, s = 60, 40, 56
-        yy, xx = np.mgrid[0:s, 0:s] / (s - 1)
-        patch = np.stack([0.2 + 0.6 * yy, 0.7 - 0.5 * xx,
-                          0.5 + 0.4 * yy * xx], -1).astype(np.float32)
+        if texture == "hopper":
+            # a real-texture patch (from the photo's far corner, outside
+            # the panned rows) moving against the pan
+            patch = wide[-s:, :s].copy()
+        else:
+            yy, xx = np.mgrid[0:s, 0:s] / (s - 1)
+            patch = np.stack([0.2 + 0.6 * yy, 0.7 - 0.5 * xx,
+                              0.5 + 0.4 * yy * xx], -1).astype(np.float32)
         for i in range(t):
             py, px = oy + 6 * i, ox + 9 * i       # against the pan
             frames[i][py:py + s, px:px + s] = patch

@@ -99,11 +99,19 @@ def main():
                     help="pure-pan clip (no independently moving object): "
                          "global motion explains everything, so this "
                          "isolates the motion-compensated 2D capacity")
+    ap.add_argument("--texture", type=str, default="synth",
+                    choices=["synth", "hopper"],
+                    help="clip texture: synth = the sinusoid canvas every "
+                         "prior headline used; hopper = pan over the REAL "
+                         "grace_hopper.jpg photograph (matplotlib sample "
+                         "data) — real natural texture, same known-affine "
+                         "motion structure")
     args = ap.parse_args()
 
     # CIF 288x352x8 RGB pan + a foreground square moving AGAINST the pan
     # (the content class the reseed recipe exists for)
-    vid, affines = build_video(moving_obj=not args.static)
+    vid, affines = build_video(moving_obj=not args.static,
+                               texture=args.texture)
     tmp = tempfile.mkdtemp(prefix="smoe_vidq_")
     clip = os.path.join(tmp, "cif.npz")
     np.savez(clip, imgs=np.moveaxis((vid * 255).astype(np.uint8), 2, 0),
@@ -196,7 +204,9 @@ def main():
                   + (f", lsri={args.lsri}" if args.lsri else "")
                   + (f", lsrip={args.lsrip}" if args.lsrip != "all" else "")
                   + (", ganchor" if args.ganchor else "")
-                  + (", static-pan" if args.static else ", moving-obj"),
+                  + (", static-pan" if args.static else ", moving-obj")
+                  + (f", texture={args.texture}"
+                     if args.texture != "synth" else ""),
     }))
 
 

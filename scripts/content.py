@@ -13,13 +13,38 @@ environment, so diversity comes from structure):
   text    - high-contrast thin strokes on a smooth gradient (screen
             content / document class; the hardest case for smooth
             steered Gaussians)
+  hopper  - a REAL photograph: matplotlib's bundled grace_hopper.jpg
+            sample image (the only real natural-image asset in this
+            environment), center-cropped square and resized — the
+            ground truth the synthetic families approximate
 
 All deterministic (seeded), float32 RGB in [0,1].
 """
 
 import numpy as np
 
-FAMILIES = ("bench", "pink", "mosaic", "text")
+FAMILIES = ("bench", "pink", "mosaic", "text", "hopper")
+
+
+def build_hopper(size=256):
+    """Real photograph (portrait: skin, fabric, flag stripes, sharp
+    insignia) from matplotlib's sample_data — deterministic, no egress."""
+    import matplotlib
+    import os
+    import cv2
+    path = os.path.join(os.path.dirname(matplotlib.__file__),
+                        "mpl-data", "sample_data", "grace_hopper.jpg")
+    bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise FileNotFoundError(path)
+    h, w = bgr.shape[:2]
+    s = min(h, w)
+    r0, c0 = (h - s) // 2, (w - s) // 2
+    crop = bgr[r0:r0 + s, c0:c0 + s]
+    interp = cv2.INTER_AREA if size < s else cv2.INTER_CUBIC
+    crop = cv2.resize(crop, (size, size), interpolation=interp)
+    rgb = crop[..., ::-1].astype(np.float32) / 255.0
+    return np.clip(rgb, 0, 1)
 
 
 def build_pink(size=256, seed=7, beta=1.8):
@@ -106,5 +131,7 @@ def build_family(name: str, size=256):
         return build_mosaic(size)
     if name == "text":
         return build_text(size)
+    if name == "hopper":
+        return build_hopper(size)
     raise ValueError(f"unknown content family {name!r}; "
                      f"choose from {FAMILIES}")
