@@ -51,11 +51,16 @@ def smoe_row(img_u8, iters):
 
     img = (img_u8 / 255.0).astype(np.float32)
     n_pix = int(np.prod(img.shape[:-1]))
-    s = Smoe(img, kernels_per_dim=[12], bit_depths=(8, 10, 8, 10, 6))
+    # LS-fit knee depths + center-anchored nu: the fit below is
+    # LS-initialized, and the Adam-era ulean knee (g6/nu8) measured a
+    # ~4 dB loss on LS fits (BASELINE round 4); code the BEST-validation
+    # snapshot, not the last iterate (the fit can degrade past its best)
+    s = Smoe(img, kernels_per_dim=[12], bit_depths=(8, 10, 10, 10, 8),
+             nu_anchor=True)
     s.set_optimizer()
     s.ls_init_experts()
     s.train(iters, val_iter=max(iters // 10, 1), ukl_iter=100)
-    s.qparams = quantize_params(s.get_params(), s.cfg)
+    s.qparams = quantize_params(s.get_best_params(), s.cfg)
     s.rparams = rescaler(s.qparams, s.cfg)
     _, mse_q, npi, _ = s.run_batched(train=False, update_reconstruction=True,
                                      with_quantized_params=True)

@@ -78,9 +78,10 @@ def main():
     n_pix = int(np.prod(img.shape[:-1]))
     pis_vals = (0.0, 1e-5, 1e-4, 5e-4)
 
-    def measure(s, pis_l1):
+    def measure(s, pis_l1, params=None):
         """Quantize -> entropy-code -> decoded PSNR of s.params."""
-        s.qparams = quantize_params(s.get_params(), s.cfg)
+        s.qparams = quantize_params(params if params is not None
+                                    else s.get_params(), s.cfg)
         if prune:
             from smoe_tpu.codec.prune import prune_search
             s.qparams = prune_search(s, 0.0)
@@ -131,14 +132,18 @@ def main():
                 s.ls_init_experts(mode="kernel")
             chunk = 100
             done = 0
+            best_loss, best_params = np.inf, None
             while done < iters:           # run ALL iters incl. a remainder
                 n = min(chunk, iters - done)
-                s.run_batched_chunk(n, pis_l1=pis_l1)
+                loss, _, _, _ = s.run_batched_chunk(n, pis_l1=pis_l1)
+                if float(loss[-1]) < best_loss:   # code the BEST state,
+                    best_loss = float(loss[-1])   # as the production CLI
+                    best_params = s.get_params()  # does (params_best)
                 s.update_kernel_list()
                 done += n
                 if lsri and done < iters:
                     s.ls_init_experts(mode="kernel")
-            points.append(measure(s, pis_l1))
+            points.append(measure(s, pis_l1, params=best_params))
 
     print(json.dumps({"metric": "rd_curve", "family": family,
                       "bit_depths": list(bit_depths),
