@@ -77,13 +77,17 @@ def dual_domain_features(coords_t: jnp.ndarray, coords_raw: jnp.ndarray,
     return phi2, q2
 
 
-# TPU f32 matmuls default to fast reduced-precision passes; exact f32 is
-# REQUIRED on the XLA eval/serve path: the video domain mixes the t=-5
-# motion plane with steering values up to O(10^3), so maha terms reach
-# O(10^8) and cancellation under ~bf16 mantissas corrupts the gating
-# (measured: a CIF dual-model decode read 6.2 dB on TPU vs 17.9 dB on
-# CPU from the SAME bitstream; the fused Pallas kernel was never
-# affected — Mosaic's f32 dot is exact).
+# TPU f32 matmuls default to fast reduced-precision passes (ONE bf16 MXU
+# pass — both in XLA and in Mosaic/Pallas); exact f32 is REQUIRED
+# everywhere the quadratic-feature maha is evaluated, because it cancels
+# A^2-scale terms: the video domain mixes the t=-5 motion plane with
+# steering values up to O(10^3) (maha terms ~O(10^8); a CIF dual-model
+# decode read 6.2 dB on TPU vs 17.9 dB on CPU from the SAME bitstream),
+# and real-photograph fits train steering to B ~ 1e4 even in 2D (the
+# hopper fit stalled at 15.8 dB under the fused kernel's then-default
+# dots vs 21.8 dB exact, same chip).  The fused Pallas kernel requests
+# HIGHEST on its dots too (kernels/gate_expert.py) — an earlier claim
+# here that Mosaic's f32 dot is exact was measured WRONG (round 4).
 _EXACT = jax.lax.Precision.HIGHEST
 
 

@@ -107,14 +107,19 @@ def _sv_residual(coords: jnp.ndarray, sv_rows: jnp.ndarray,
     B_sv = 2.0 * jnp.einsum("nlm,nkm->nlk", A_sv, A_sv)
     q_sv = kernel_quadratics(B_sv, coords)
     phi = quadratic_features(coords)
-    maha = jnp.dot(phi, q_sv.T, preferred_element_type=jnp.float32)
+    # exact f32: TPU's default single-bf16-pass dot corrupts the
+    # quadratic-feature cancellation once bandwidths sharpen (see
+    # core/model.py _EXACT)
+    maha = jnp.dot(phi, q_sv.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     # the quadratic form is PSD by construction; restore the invariant
     # under f32 cancellation so exp(...) <= 1 (same clamp as the kernel
     # gating path, core/model.py maha_from_A)
     maha = jnp.maximum(maha, 0.0)
     kmat = jnp.exp(-0.5 * maha)
     sv_eff = sv_rows * (jnp.abs(sv_rows) >= thr_sv)
-    res_sv = jnp.dot(kmat, sv_eff, preferred_element_type=jnp.float32)[:, 0]
+    res_sv = jnp.dot(kmat, sv_eff, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)[:, 0]
     return res_sv, sv_eff
 
 

@@ -127,9 +127,21 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
     # so mh == -0.5 * max(maha, 0) with NO per-(pixel, kernel) multiplies —
     # the gating chain is VPU-bound and every elementwise op here costs
     # ~10% of the kernel.  min(., 0) is the maha >= 0 Cholesky clamp.
+    #
+    # precision=HIGHEST is REQUIRED, not a nicety: Mosaic's default f32
+    # dot truncates inputs to bf16 (one MXU pass), and the quadratic-
+    # feature maha cancels A^2-scale terms — at the steering sharpness
+    # real photographs train to (B ~ 1e4), the default's absolute maha
+    # error reaches ~1e3 where exp(-0.5 maha) needs ~1e-2 (measured;
+    # the hopper fit stalled at 15.8 dB fused vs 21.8 dB XLA-exact on
+    # the SAME chip, and dequantized-param evals read 14 dB low).  The
+    # F=8 contraction is bandwidth-bound, so the extra passes measured
+    # FREE at bench geometries (512^2/K=144: 1.55 vs 2.19 ms for the
+    # standalone dot).
     mh = jnp.minimum(jax.lax.dot_general(
         phiT, qT, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32), 0.0)   # (TN, K)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST), 0.0)   # (TN, K)
     n_w = jnp.exp(mh) * pi_det
     denom = jnp.maximum(floor, jnp.sum(n_w, axis=1, keepdims=True))
     w = n_w / denom
@@ -161,6 +173,11 @@ def _fwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
         surv_update(jnp.where(row < n_actual, w, 0.0))
 
     # expert mix: res[n, c] = sum_j xe[j, n] * (w @ G)[n, j*C + c]
+    # (default precision is fine HERE: w in [0,1] summing to <= 1 and
+    # G ~ O(1) are well-scaled — no cancellation — and the K-deep
+    # contraction is the one real MXU matmul in the kernel, so extra
+    # passes cost real time: HIGHEST on all dots measured 4.61 ms/iter
+    # vs 3.4 on the 512^2 bench.  Only the maha dots need exactness.)
     wg = jnp.dot(w, G_ref[:], preferred_element_type=jnp.float32)  # (TN, E*C)
     xeT = xeT_ref[:]                          # (E, TN)
     res = jnp.zeros((w.shape[0], c_dim), jnp.float32)
@@ -229,10 +246,12 @@ def _bwd_kernel(phiT_ref, xeT_ref, qT_ref, G_ref, pi_det_ref,
     phiT_c = phiT.astype(jnp.bfloat16) if bf16 else phiT
     qT_c = qT.astype(jnp.bfloat16) if bf16 else qT
 
-    # --- recompute forward tile (see _fwd_kernel for the q' prescale) ---
+    # --- recompute forward tile (see _fwd_kernel for the q' prescale;
+    # precision=HIGHEST required there and here for the same reason) ---
     mh_raw = jax.lax.dot_general(
         phiT_c, qT_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     mh = jnp.minimum(mh_raw, 0.0)             # maha >= 0 Cholesky clamp
     e_term = jnp.exp(mh)                      # (TN, K)
     n_w = e_term * pi_det

@@ -298,3 +298,35 @@ class TestCappedDense:
         with pytest.raises(ValueError, match="packed"):
             Smoe(img, kernels_per_dim=[2], use_yuv=False,
                  use_pallas="packed")
+
+
+def test_maha_dots_request_exact_precision():
+    """Every maha dot in the fused kernel must request Precision.HIGHEST.
+
+    CPU tests cannot see this class of bug: Mosaic's DEFAULT f32 dot on
+    TPU is one bf16 MXU pass, and the quadratic-feature maha cancels
+    A^2-scale terms — at the steering sharpness real photographs train
+    to (B ~ 1e4) the default's absolute maha error is ~1e3, which
+    stalled the hopper fit at 15.8 dB vs 21.8 dB exact (round 4, same
+    chip).  Guard statically: the two phi @ q' dots (forward + backward
+    recompute) carry precision=HIGHEST.
+    """
+    import ast
+    import inspect
+    import smoe_tpu.kernels.gate_expert as ge
+
+    tree = ast.parse(inspect.getsource(ge))
+    exact_dots = 0
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = ast.unparse(node.func)
+        if fn not in ("jax.lax.dot_general", "jnp.dot"):
+            continue
+        args = ast.unparse(node)
+        # a maha dot is recognizable by its phi/q operands
+        if "phiT" in args and "qT" in args:
+            assert "Precision.HIGHEST" in args, (
+                "maha dot without precision=HIGHEST:\n" + args)
+            exact_dots += 1
+    assert exact_dots == 2, f"expected fwd+bwd maha dots, found {exact_dots}"
