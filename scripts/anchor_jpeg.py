@@ -43,7 +43,18 @@ def anchor_rows(img_u8, n_pix):
     return rows
 
 
-def smoe_row(img_u8, iters):
+def smoe_row(img_u8, iters, k=12, lsri=0, auto=False):
+    """One smoe RD point for the anchor table.
+
+    Default: LS-init fit at the LS-knee depths + center-anchored nu,
+    coding the BEST-validation snapshot (photograph fits measurably
+    degrade past their best — hopper k=20 ended at mse 559 vs best 177).
+
+    auto=True runs the PRODUCTION composed encode on the fit: measured
+    per-group bit allocation (codec/alloc.py --auto-bd semantics) + the
+    RD prune sweep — the path that beats JPEG q2 by +3.7 dB at 0.29 bpp
+    on the real photograph (BASELINE round 4).
+    """
     from smoe_tpu import Smoe
     from smoe_tpu.codec.bitstream import write_bitstream
     from smoe_tpu.codec.quantize import quantize_params, rescaler
@@ -51,17 +62,35 @@ def smoe_row(img_u8, iters):
 
     img = (img_u8 / 255.0).astype(np.float32)
     n_pix = int(np.prod(img.shape[:-1]))
-    # LS-fit knee depths + center-anchored nu: the fit below is
-    # LS-initialized, and the Adam-era ulean knee (g6/nu8) measured a
-    # ~4 dB loss on LS fits (BASELINE round 4); code the BEST-validation
-    # snapshot, not the last iterate (the fit can degrade past its best)
-    s = Smoe(img, kernels_per_dim=[12], bit_depths=(8, 10, 10, 10, 8),
-             nu_anchor=True)
+    s = Smoe(img, kernels_per_dim=[k], bit_depths=(8, 10, 10, 10, 8),
+             nu_anchor=True, in_graph_ukl=True)
     s.set_optimizer()
     s.ls_init_experts()
-    s.train(iters, val_iter=max(iters // 10, 1), ukl_iter=100)
-    s.qparams = quantize_params(s.get_best_params(), s.cfg)
-    s.rparams = rescaler(s.qparams, s.cfg)
+    s.train(iters, val_iter=max(iters // 10, 1), ukl_iter=100,
+            ls_refresh_iter=lsri or None)
+    # rebuild on the BEST-validation snapshot (the production CLI path:
+    # reconstruct loads params_best.pkl the same way)
+    s = Smoe(img, init_params_dict=s.get_best_params(),
+             bit_depths=(8, 10, 10, 10, 8), nu_anchor=True)
+
+    if auto:
+        from smoe_tpu.codec.alloc import START, choose_anchors, \
+            search_bit_depths
+        from smoe_tpu.codec.prune import prune_search
+        s.cfg = s.cfg.replace(bit_depths=START)
+        choose_anchors(s)
+        bd, _, _ = search_bit_depths(s, tol_db=0.05)
+        s.cfg = s.cfg.replace(bit_depths=bd)
+        s.qparams = quantize_params(s.get_params(), s.cfg,
+                                    musX_grid=s.musX_grid)
+        s.qparams = prune_search(s, 0.0)
+    else:
+        s.qparams = quantize_params(s.get_params(), s.cfg,
+                                    musX_grid=s.musX_grid)
+    s.rparams = rescaler(s.qparams, s.cfg,
+                         None if s.musX_grid is None else
+                         np.asarray(s.musX_grid)[
+                             np.asarray(s.qparams["used_kernels"])])
     _, mse_q, npi, _ = s.run_batched(train=False, update_reconstruction=True,
                                      with_quantized_params=True)
     import tempfile
@@ -70,21 +99,28 @@ def smoe_row(img_u8, iters):
     return {"codec": "smoe", "q": None,
             "bpp": round(bits / n_pix, 4),
             "psnr_db": round(float(psnr_from_mse(mse_q, 8)), 2),
-            "iters": iters, "kernels": int(npi)}
+            "iters": iters, "kernels": int(npi),
+            "k": k, "lsri": lsri, "auto": bool(auto)}
 
 
 def main():
     argv = sys.argv[1:]
-    fit_iters = 0
-    if "--fit" in argv:
-        i = argv.index("--fit")
-        fit_iters = int(argv[i + 1])
-        del argv[i:i + 2]
-    size = 256
-    if "--size" in argv:
-        i = argv.index("--size")
-        size = int(argv[i + 1])
-        del argv[i:i + 2]
+
+    def intopt(flag, default):
+        if flag in argv:
+            i = argv.index(flag)
+            v = int(argv[i + 1])
+            del argv[i:i + 2]
+            return v
+        return default
+
+    fit_iters = intopt("--fit", 0)
+    size = intopt("--size", 256)
+    k = intopt("--k", 12)
+    lsri = intopt("--lsri", 0)
+    auto = "--auto" in argv
+    if auto:
+        argv.remove("--auto")
     family = "bench"
     if "--family" in argv:
         i = argv.index("--family")
@@ -106,7 +142,8 @@ def main():
         print(json.dumps({"family": family, **row}), flush=True)
     if fit_iters:
         print(json.dumps({"family": family,
-                          **smoe_row(img_u8, fit_iters)}), flush=True)
+                          **smoe_row(img_u8, fit_iters, k=k, lsri=lsri,
+                                     auto=auto)}), flush=True)
 
 
 if __name__ == "__main__":
