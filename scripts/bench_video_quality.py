@@ -99,6 +99,13 @@ def main():
                     help="pure-pan clip (no independently moving object): "
                          "global motion explains everything, so this "
                          "isolates the motion-compensated 2D capacity")
+    ap.add_argument("--qm", type=int, default=1,
+                    help="quantization mode for the fit (fit -qm): 1 = "
+                         "post-hoc quantize at validation (recipe "
+                         "default); 3 = in-graph QAT — trains THROUGH "
+                         "the quantizer, closing the train->decode gap "
+                         "real-texture fits open at post-hoc coding "
+                         "(hopper: train-best 24.4 vs 17-20 decoded)")
     ap.add_argument("--texture", type=str, default="synth",
                     choices=["synth", "hopper"],
                     help="clip texture: synth = the sinusoid canvas every "
@@ -131,7 +138,7 @@ def main():
         "-k", str(args.k), str(args.k), "4",
         "-v", str(args.val), "-lr", str(args.lr),
         "-np", "0",
-        "-qm", "1",
+        "-qm", str(args.qm),
     ] + (["-lean", "1"] if args.lean else [])
       + (["-ulean", "1"] if args.ulean else [])
       + (["-lslean", "1"] if args.lslean else [])
@@ -191,7 +198,7 @@ def main():
         "frames": int(orig.shape[2]),
         "workdir": tmp,
         "recipe": f"fit {args.n} + 4 slabs x {args.ri} (5x last), "
-                  f"k={args.k},{args.k},4, qm=1, lr={args.lr}"
+                  f"k={args.k},{args.k},4, qm={args.qm}, lr={args.lr}"
                   + (", lean" if args.lean else "")
                   + (", ulean" if args.ulean else "")
                   + (", lslean" if args.lslean else "")
