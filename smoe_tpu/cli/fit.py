@@ -142,6 +142,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-kcn", "--kernel_count_norm_l1", type=str2bool,
                    default=False)
     p.add_argument("-tvs", "--train_svs", type=str2bool, default=False)
+    p.add_argument("-svg", "--sv_shared_grid", type=str2bool, default=False,
+                   help="store ONE SV per image pixel on the global grid "
+                        "(overlapping blocks share and co-train it) instead "
+                        "of independent per-block-window rows; the "
+                        "reference's SV masking under overlap is ambiguous "
+                        "(smoe.py:411-426)")
     p.add_argument("-tt", "--train_trafo", type=str2bool, default=False)
     p.add_argument("-npm", "--num_params_model", type=int, default=6)
     p.add_argument("-tiv", "--train_inverse_cov", type=str2bool,
@@ -268,7 +274,8 @@ def main(args=None):
         add_kernel_slots=args.inc_steps * int(np.prod(kpd)),
         overlap=args.overlap_of_batches,
         kernel_count_as_norm_l1=args.kernel_count_norm_l1,
-        train_svs=args.train_svs, train_trafo=args.train_trafo,
+        train_svs=args.train_svs, sv_shared_grid=args.sv_shared_grid,
+        train_trafo=args.train_trafo,
         num_params_model=args.num_params_model,
         train_inverse_cov=args.train_inverse_cov,
         probe_maha_threshold=args.probe_maha_threshold,

@@ -108,6 +108,14 @@ class SmoeConfig:
     kernel_count_as_norm_l1: bool = False
     train_svs: bool = False                  # support-vector residual (smoe.py:402-426)
     sv_threshold: float = 0.02               # thr_sv zeroing bound (smoe.py:404, 852)
+    # SV storage under block overlap.  False (default): each block owns
+    # independent SVs for its padded window — overlapped pixels carry one SV
+    # per covering block (the reference's masking here is ambiguous,
+    # smoe.py:411-426).  True: ONE SV per image pixel on the global raster
+    # grid; blocks gather their window's rows, so overlapping blocks share
+    # and co-train the same coefficients (gradients scatter-add through the
+    # gather), and synthetic image-edge pad positions contribute nothing.
+    sv_shared_grid: bool = False
     # matmul dtype; "bfloat16" opt-in. Measured on v5e: bf16 does NOT help
     # (5.1 vs 4.4 ms/iter at 512^2) — the maha contraction is only F=8 wide
     # so the matmul is cast-overhead-bound, and PSNR is unchanged.

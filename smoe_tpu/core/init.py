@@ -186,7 +186,12 @@ def init_params(image: np.ndarray, cfg: SmoeConfig,
         bs = cfg.block_shape or spatial
         win = tuple(b + 2 * cfg.overlap for b in bs)
         nblocks = int(np.prod([s // b for s, b in zip(spatial, bs)]))
-        n_sv = nblocks * int(np.prod(win))
+        if getattr(cfg, "sv_shared_grid", False):
+            # one SV per image pixel (global raster order) + a zeroed dummy
+            # row that image-edge pad positions gather (cfg.sv_shared_grid)
+            n_sv = int(np.prod(spatial)) + 1
+        else:
+            n_sv = nblocks * int(np.prod(win))
         n_joint = float(np.prod(spatial))
         bw0 = np.sqrt(34.0 / 2.0 * 50.0 / 32.0 * np.sqrt(n_joint))
         sv = np.zeros((n_sv, 1), np.float32)

@@ -41,6 +41,11 @@ class BlockSet(NamedTuple):
     block_padded: Tuple[int, ...]      # block size per dim with 2*overlap
     overlap: int
     train_mask: Optional[jnp.ndarray] = None   # (B, Nb) bool (LF corner views)
+    # (B, Nb) int32 global raster index of each padded-block pixel; image-
+    # edge pad positions point at the dummy row prod(spatial).  Present only
+    # under cfg.sv_shared_grid (one SV per pixel shared across overlapping
+    # blocks instead of per-block-window rows).
+    sv_index: Optional[jnp.ndarray] = None
 
 
 def _block_view(arr: np.ndarray, bs: Tuple[int, ...], ov: int) -> np.ndarray:
@@ -115,6 +120,17 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
         else:
             train_mask = jnp.asarray(_block_view(tm, bs, ov)[..., 0] > 0.5)
 
+    sv_index = None
+    if cfg.train_svs and getattr(cfg, "sv_shared_grid", False):
+        # global raster index per padded-block pixel (shifted by 1 so the
+        # zero pad decodes as -1 -> the dummy row n_pix)
+        n_pix = int(np.prod(spatial))
+        idxf = np.arange(1, n_pix + 1, dtype=np.int64).reshape(
+            spatial + (1,))
+        iv = _block_view(idxf, bs, ov)[..., 0] - 1
+        iv[iv < 0] = n_pix
+        sv_index = jnp.asarray(iv, jnp.int32)
+
     return BlockSet(
         coords=jnp.asarray(coords, jnp.float32),
         targets=jnp.asarray(targets, jnp.float32),
@@ -122,7 +138,7 @@ def build_blockset(image: np.ndarray, cfg: SmoeConfig,
         probes=jnp.asarray(probes, jnp.float32),
         centers=jnp.asarray(centers, jnp.float32),
         image_shape=spatial, block_valued=bs, block_padded=win,
-        overlap=ov, train_mask=train_mask)
+        overlap=ov, train_mask=train_mask, sv_index=sv_index)
 
 
 def _lf_train_mask(spatial: Tuple[int, ...]) -> np.ndarray:

@@ -450,11 +450,24 @@ class _Compiled:
                     valid = tm if valid is None else tm * valid
             sv_blk = None
             if with_sv:
-                off = bidx * nb
-                sv_blk = (
-                    jax.lax.dynamic_slice_in_dim(params.sv, off, nb),
-                    jax.lax.dynamic_slice_in_dim(params.sv_bw_diag, off, nb),
-                    jax.lax.dynamic_slice_in_dim(params.sv_bw_corr, off, nb))
+                if bset.sv_index is not None:
+                    # shared-grid SVs (cfg.sv_shared_grid): gather this
+                    # block's pixel rows from the global grid — the gather's
+                    # VJP scatter-adds, so overlapping blocks co-train ONE
+                    # SV per pixel; edge-pad gathers (dummy row) are zeroed
+                    svix = bset.sv_index[bidx]
+                    real = (svix < params.sv.shape[0] - 1)[:, None]
+                    sv_blk = (params.sv[svix] * real,
+                              params.sv_bw_diag[svix],
+                              params.sv_bw_corr[svix])
+                else:
+                    off = bidx * nb
+                    sv_blk = (
+                        jax.lax.dynamic_slice_in_dim(params.sv, off, nb),
+                        jax.lax.dynamic_slice_in_dim(
+                            params.sv_bw_diag, off, nb),
+                        jax.lax.dynamic_slice_in_dim(
+                            params.sv_bw_corr, off, nb))
             if do_sample:
                 # error-proportional subsampling without replacement
                 # (Gumbel top-k ~ np.random.choice(p=...), reference
@@ -696,11 +709,17 @@ class _Compiled:
             sv_add = jnp.zeros((coords.shape[0],), jnp.float32)
             sv_eff = None
             if with_sv and svp is not None:
-                off = bidx * nb
-                sv_blk = (
-                    jax.lax.dynamic_slice_in_dim(svp[0], off, nb),
-                    jax.lax.dynamic_slice_in_dim(svp[1], off, nb),
-                    jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
+                if bset.sv_index is not None:
+                    svix = bset.sv_index[bidx]
+                    real = (svix < svp[0].shape[0] - 1)[:, None]
+                    sv_blk = (svp[0][svix] * real, svp[1][svix],
+                              svp[2][svix])
+                else:
+                    off = bidx * nb
+                    sv_blk = (
+                        jax.lax.dynamic_slice_in_dim(svp[0], off, nb),
+                        jax.lax.dynamic_slice_in_dim(svp[1], off, nb),
+                        jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
                 sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
             out = _forward_eff(eff, cfg, coords, kmask, model_mask,
                                fused=(False, False) if (with_rec or exact)

@@ -92,6 +92,96 @@ def test_sv_with_pixel_subsampling():
     assert mse < m0
 
 
+def test_sv_shared_grid_index_map():
+    """cfg.sv_shared_grid: the BlockSet index map sends every padded-block
+    position to its global raster pixel, and image-edge pad positions to
+    the dummy row prod(spatial)."""
+    from smoe_tpu.config import SmoeConfig
+    from smoe_tpu.fit.blocks import build_blockset
+
+    img = np.random.default_rng(0).uniform(0, 1, (8, 8, 1)) \
+        .astype(np.float32)
+    cfg = SmoeConfig(dim_domain=2, num_channels=1, kernels_per_dim=(2, 2),
+                     train_svs=True, sv_shared_grid=True,
+                     block_shape=(4, 4), overlap=1, use_yuv=False)
+    bset = build_blockset(img, cfg)
+    assert bset.sv_index.shape == (4, 36)          # 4 blocks, 6x6 windows
+    iv = np.asarray(bset.sv_index)
+    for bi in range(2):
+        for bj in range(2):
+            b = bi * 2 + bj
+            for wi in range(6):
+                for wj in range(6):
+                    gi, gj = bi * 4 + wi - 1, bj * 4 + wj - 1
+                    want = gi * 8 + gj if (0 <= gi < 8 and 0 <= gj < 8) \
+                        else 64
+                    assert iv[b, wi * 6 + wj] == want
+    # every real pixel is covered, overlapped pixels appear in >1 block
+    real = iv[iv < 64]
+    assert set(real.tolist()) == set(range(64))
+    counts = np.bincount(real, minlength=64)
+    assert counts.max() > 1 and counts.min() == 1
+
+
+def test_sv_shared_grid_matches_blocklocal_without_overlap():
+    """With overlap=0 the window pixels are disjoint, so shared-grid and
+    block-local SV storage are the same model up to row ordering — the
+    training trajectories must match."""
+    rng = np.random.default_rng(3)
+    img = np.full((8, 8, 1), 0.5, np.float32)
+    img[3, 4, 0] = 0.9
+    img[6, 1, 0] = 0.1
+
+    fits = []
+    for shared in (False, True):
+        s = Smoe(img, kernels_per_dim=[2], train_svs=True,
+                 sv_shared_grid=shared, batch_size=(4, 4),
+                 use_yuv=False, use_determinant=True)
+        s.set_optimizer()
+        hist = []
+        for _ in range(30):
+            _, mse, _, _ = s.run_batched(train=True)
+            hist.append(mse)
+        fits.append((s, hist))
+    (s0, h0), (s1, h1) = fits
+    np.testing.assert_allclose(h0, h1, rtol=1e-4)
+    assert s0.params.sv.shape == (64, 1)
+    assert s1.params.sv.shape == (65, 1)           # 64 pixels + dummy
+    # per-pixel SV values agree after mapping block order -> raster order
+    iv = np.asarray(s1.bset.sv_index).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(s1.params.sv)[iv, 0],
+        np.asarray(s0.params.sv)[:, 0], rtol=1e-3, atol=1e-6)
+    assert float(np.asarray(s1.params.sv)[64, 0]) == 0.0
+
+
+def test_sv_shared_grid_overlap_cotrains():
+    """Under block overlap the shared grid keeps ONE SV per pixel: the fit
+    trains, the dummy (edge-pad) row never moves, and overlapped pixels'
+    rows receive gradients (they change) — the block-local layout would
+    instead carry independent copies per covering block."""
+    img = np.full((8, 8, 1), 0.5, np.float32)
+    img[3, 4, 0] = 0.9
+    s = Smoe(img, kernels_per_dim=[2], train_svs=True, sv_shared_grid=True,
+             batch_size=(4, 4), overlap=1, use_yuv=False,
+             use_determinant=True)
+    s.set_optimizer()
+    _, m0, _, _ = s.run_batched(train=False)
+    for _ in range(60):
+        s.run_batched(train=True)
+    loss, mse, _, _ = s.run_batched(train=False, update_reconstruction=True)
+    assert np.isfinite(loss) and mse < m0
+    sv = np.asarray(s.params.sv)
+    assert sv.shape == (65, 1)
+    assert sv[64, 0] == 0.0                        # dummy row: no gradient
+    # rows shared between blocks (the overlap band) did train
+    iv = np.asarray(s.bset.sv_index)
+    real = iv[iv < 64]
+    shared_rows = np.flatnonzero(np.bincount(real, minlength=64) > 1)
+    assert np.any(sv[shared_rows, 0] != 0.0)
+    assert s.reconstruction_sv.shape == (8, 8)
+
+
 def test_sv_reg_and_num_sv_metric():
     img = np.full((8, 8, 1), 0.4, np.float32)
     img[2, 2, 0] = 0.8
