@@ -30,13 +30,19 @@ def anchor_rows(img_u8, n_pix):
     codecs = [("jpeg", ".jpg", cv2.IMWRITE_JPEG_QUALITY)]
     if hasattr(cv2, "IMWRITE_WEBP_QUALITY"):
         codecs.append(("webp", ".webp", cv2.IMWRITE_WEBP_QUALITY))
-    bgr = img_u8[..., ::-1]
+    gray = img_u8.shape[-1] == 1             # mri/dem families
+    enc_in = img_u8[..., 0] if gray else img_u8[..., ::-1]
     for name, ext, flag in codecs:
         for q in (2, 5, 10, 20, 35, 50, 75, 90):
-            ok, buf = cv2.imencode(ext, bgr, [flag, q])
+            try:
+                ok, buf = cv2.imencode(ext, enc_in, [flag, q])
+            except cv2.error:                # e.g. webp rejects 1-channel
+                break
             if not ok:
-                continue
-            dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1]
+                break
+            dec = (cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)[..., None]
+                   if gray else
+                   cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1])
             rows.append({"codec": name, "q": q,
                          "bpp": round(8 * len(buf) / n_pix, 4),
                          "psnr_db": round(psnr(img_u8, dec), 2)})

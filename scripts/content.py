@@ -14,16 +14,23 @@ environment, so diversity comes from structure):
             content / document class; the hardest case for smooth
             steered Gaussians)
   hopper  - a REAL photograph: matplotlib's bundled grace_hopper.jpg
-            sample image (the only real natural-image asset in this
-            environment), center-cropped square and resized — the
+            sample image, center-cropped square and resized — the
             ground truth the synthetic families approximate
+  mri     - a REAL MRI head slice (matplotlib sample_data s1045.ima.gz,
+            256x256 big-endian uint16): smooth anatomy + sharp skull /
+            tissue boundaries — the classic medical very-low-bpp
+            content class.  Single channel.
+  dem     - REAL terrain elevation (matplotlib sample_data
+            jacksboro_fault_dem.npz, 344x403 int16): natural fractal
+            relief with a fault scarp — smooth structured content,
+            SMoE's home regime.  Single channel.
 
-All deterministic (seeded), float32 RGB in [0,1].
+All deterministic (seeded), float32 in [0,1]; RGB except mri/dem.
 """
 
 import numpy as np
 
-FAMILIES = ("bench", "pink", "mosaic", "text", "hopper")
+FAMILIES = ("bench", "pink", "mosaic", "text", "hopper", "mri", "dem")
 
 
 def build_hopper(size=256):
@@ -45,6 +52,44 @@ def build_hopper(size=256):
     crop = cv2.resize(crop, (size, size), interpolation=interp)
     rgb = crop[..., ::-1].astype(np.float32) / 255.0
     return np.clip(rgb, 0, 1)
+
+
+def _sample_data(name):
+    import matplotlib
+    import os
+    return os.path.join(os.path.dirname(matplotlib.__file__),
+                        "mpl-data", "sample_data", name)
+
+
+def build_mri(size=256):
+    """Real MRI head slice (s1045.ima.gz): 256x256 big-endian uint16
+    (native read maxes at 55040 = 215<<8), values 0..215."""
+    import gzip
+    a = np.frombuffer(gzip.open(_sample_data("s1045.ima.gz")).read(),
+                      np.uint16).reshape(256, 256).byteswap()
+    img = (a / float(a.max())).astype(np.float32)
+    if size != 256:
+        import cv2
+        interp = cv2.INTER_AREA if size < 256 else cv2.INTER_CUBIC
+        img = cv2.resize(img, (size, size), interpolation=interp)
+    return np.clip(img, 0, 1)[..., None]
+
+
+def build_dem(size=256):
+    """Real terrain elevation (jacksboro_fault_dem.npz, 344x403 int16),
+    center-cropped square, min-max normalized."""
+    a = np.load(_sample_data("jacksboro_fault_dem.npz"))["elevation"] \
+        .astype(np.float32)
+    h, w = a.shape
+    s = min(h, w)
+    r0, c0 = (h - s) // 2, (w - s) // 2
+    a = a[r0:r0 + s, c0:c0 + s]
+    if size != s:
+        import cv2
+        interp = cv2.INTER_AREA if size < s else cv2.INTER_CUBIC
+        a = cv2.resize(a, (size, size), interpolation=interp)
+    a = (a - a.min()) / (a.max() - a.min() + 1e-12)
+    return np.clip(a, 0, 1).astype(np.float32)[..., None]
 
 
 def build_pink(size=256, seed=7, beta=1.8):
@@ -133,5 +178,9 @@ def build_family(name: str, size=256):
         return build_text(size)
     if name == "hopper":
         return build_hopper(size)
+    if name == "mri":
+        return build_mri(size)
+    if name == "dem":
+        return build_dem(size)
     raise ValueError(f"unknown content family {name!r}; "
                      f"choose from {FAMILIES}")
