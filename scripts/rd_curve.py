@@ -6,7 +6,7 @@ point. Prints one JSON line per RD point plus a summary line.
 
 Usage: python scripts/rd_curve.py [image.png] [iters] [--dp]
                                   [--lean|--ulean] [--lsinit] [--lsri]
-                                  [--prune] [--family bench|pink|mosaic|text|hopper]
+                                  [--prune] [--family bench|pink|mosaic|text|hopper|mri|dem]
 
 --family: synthetic content family (scripts/content.py) — structurally
 different signal classes to check the measured levers generalize off the
