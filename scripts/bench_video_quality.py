@@ -102,10 +102,14 @@ def main():
     ap.add_argument("--qm", type=int, default=1,
                     help="quantization mode for the fit (fit -qm): 1 = "
                          "post-hoc quantize at validation (recipe "
-                         "default); 3 = in-graph QAT — trains THROUGH "
-                         "the quantizer, closing the train->decode gap "
-                         "real-texture fits open at post-hoc coding "
-                         "(hopper: train-best 24.4 vs 17-20 decoded)")
+                         "default); 3 = in-graph QAT.  Measured A/B on "
+                         "the hopper composed recipe (BASELINE round 4): "
+                         "QAT-3 closes the train->decode gap by "
+                         "construction (18.99 decoded vs 19.01 train) "
+                         "but costs ~1.7 dB of float quality and loses "
+                         "to the qm=1 fit's automatic post-hoc encode "
+                         "(--auto-bd + --prune: 22.66 dB @ 0.53 bpp) — "
+                         "use qm=1 + the composed encode on real texture")
     ap.add_argument("--texture", type=str, default="synth",
                     choices=["synth", "hopper"],
                     help="clip texture: synth = the sinusoid canvas every "
