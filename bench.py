@@ -197,6 +197,31 @@ def main():
     except Exception as e:          # noqa: BLE001
         print(f"lsinit extra skipped: {e!r}", file=sys.stderr)
 
+    # per-phase step-time breakdown (VERDICT r4 #4: make mfu_pct auditable)
+    # — fwd / bwd / optimizer+metrics at the production capped width, via
+    # dedicated programs sharing the train sweep's exact closures.  MUST
+    # run before the CPU section: make_smoe(device=cpu) flips the global
+    # jax_default_device, and the fused Pallas kernel has no CPU backend.
+    # Defensive like the lsinit extra: the headline survives any flake here.
+    phases = None
+    try:
+        phases = s.phase_breakdown(n_steps=100)
+    except Exception as e:          # noqa: BLE001
+        print(f"phase breakdown skipped: {e!r}", file=sys.stderr)
+
+    # tunnel round-trip latency: the sub-second wallclock metrics ride
+    # 1-3 host<->device round trips whose latency through the remote-TPU
+    # tunnel varies 30-300 ms BETWEEN SESSIONS — report it so
+    # wallclock_to_32db can be decomposed into compute (iters x s/iter)
+    # + k round trips (the r3->r4 lsinit "regression" was this, not
+    # compute; per-iter time was stable)
+    rts = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.device_get(s.params.pis)
+        rts.append(time.time() - t0)
+    tunnel_rt_ms = float(np.median(rts) * 1000)
+
     # ---- CPU reference point (same computation, host backend) ----
     cpu = jax.devices("cpu")[0]
     s_cpu = make_smoe(img, device=cpu)
@@ -228,6 +253,8 @@ def main():
         **({"wallclock_to_32db_lsinit_s": round(t_ls, 3),
             "lsinit_runs_s": [round(r["t"], 3) for r in ls_runs]}
            if t_ls is not None else {}),
+        "tunnel_rt_ms": round(tunnel_rt_ms, 1),
+        "wallclock_compute_s": round(rep["iters"] * t_iter_warm, 3),
         "reached_32db": rep["reached"],
         "final_psnr_db": round(rep["psnr"], 2),
         "iters": rep["iters"],
@@ -240,6 +267,24 @@ def main():
                     "tile-issue roofline",
         "active_kernels": rep["npi"],
     }
+    if phases is not None:
+        k_cap = phases["k_cap"]
+        out["phases_ms"] = {k: round(v * 1000, 3)
+                            for k, v in phases.items() if k != "k_cap"}
+        # the derivation chain from measured step time to mfu_pct (each
+        # factor <1 multiplies away part of the nominal MXU peak; see
+        # ROADMAP "MFU reconciliation"):
+        out["mfu_derivation"] = {
+            "k_cap": int(k_cap),
+            # useful pairs / issued pairs: the capped-dense program
+            # evaluates n_pix*k_cap pairs; only live-kernel pairs count
+            "pair_efficiency": round(rep["npi"] / k_cap, 3),
+            # fraction of the step the fwd+bwd matmul phases occupy
+            "fwd_frac_of_step": round(phases["fwd"] / phases["step"], 3),
+            "bwd_frac_of_step": round(phases["bwd"] / phases["step"], 3),
+            "opt_frac_of_step": round(
+                phases["opt_metrics"] / phases["step"], 3),
+        }
     print(json.dumps(out))
 
 

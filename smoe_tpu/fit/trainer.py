@@ -372,6 +372,10 @@ class _Compiled:
             # capped-dense emulates on one chip)
             self.pallas = (False, False)
         self._train_fns: Dict[Any, Any] = {}
+        # raw (un-jitted) sweep pieces cached per train_sweep_fn key, so
+        # phase_fns can time fwd-only / fwd+bwd at the EXACT production
+        # fused spec + capped width (VERDICT r4 #4: auditable MFU)
+        self._phase_parts: Dict[Any, Any] = {}
         self.tx_main = self._make_tx(inc=False)
         self.tx_inc = self._make_tx(inc=True)
 
@@ -578,6 +582,8 @@ class _Compiled:
                 out_specs=(pspec, P(), P(), kl_spec))
         else:
             sweep_all = sweep_grads
+
+        self._phase_parts[key] = (loss_for_block, sweep_all)
 
         def one_sweep(params, opt_state, inc_opt_state, klists, loss_w, reg,
                       musX_grid, model_mask, probs, rng, thr_sv,
@@ -795,6 +801,92 @@ class _Compiled:
 
         setattr(self, attr, jax.jit(sweep))
         return getattr(self, attr)
+
+    def phase_fns(self, train_orig: bool, train_inc: bool,
+                  sampling_pct: int, use_loss_mask: bool,
+                  n_steps: int, k_cap: Optional[int]):
+        """Two diagnostic programs matching the production train sweep's
+        EXACT fused spec and capped width (same `loss_for_block` /
+        `sweep_all` closures), for the per-phase step-time breakdown
+        (VERDICT r4 #4):
+
+          fwd      — n_steps sweeps of forward+loss only (the training
+                     step's primal, backward dead-code-eliminated)
+          fwd_bwd  — n_steps sweeps of forward+backward with the grads
+                     consumed (no optimizer / metrics / list refresh)
+
+        Each body depends on the scan carry (a 1e-30-scale perturbation —
+        below f32 eps of any operand, a numerical no-op) so XLA cannot
+        hoist the loop-invariant computation out and time one iteration
+        as n.  Single-device only (the mesh path wraps sweep_grads in
+        shard_map; the breakdown is a one-chip roofline diagnostic)."""
+        assert self.mesh is None, "phase_fns is a single-device diagnostic"
+        key = (train_orig, train_inc, sampling_pct, use_loss_mask, n_steps,
+               k_cap)
+        pkey = ("phase",) + key
+        if pkey in self._train_fns:
+            return self._train_fns[pkey]
+        # populate the raw-parts cache for this key
+        self.train_sweep_fn(train_orig, train_inc, sampling_pct,
+                            use_loss_mask, n_steps, k_cap)
+        loss_for_block, sweep_all = self._phase_parts[key]
+        bw = self.block_weight
+
+        def fwd_multi(params, klists, loss_w, reg, musX_grid, model_mask,
+                      probs, rng, thr_sv, coords_all, targets_all):
+            B = coords_all.shape[0]
+            nb_pix = coords_all.shape[1]
+            lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
+                else jnp.zeros((B, nb_pix))
+            rngs = jax.random.split(rng, B)
+
+            def body(acc, _):
+                reg_i = reg._replace(pis_l1=reg.pis_l1 + acc * 1e-30)
+
+                def blk(c, xs):
+                    coords, targets, kmask, lw, p, r, bidx = xs
+                    loss, _aux = loss_for_block(
+                        params, coords, targets, kmask, lw, reg_i,
+                        musX_grid, model_mask, p, r, bidx, thr_sv)
+                    return c + bw * loss, None
+
+                loss, _ = jax.lax.scan(
+                    blk, jnp.float32(0.0),
+                    (coords_all, targets_all, klists, lw_xs, probs, rngs,
+                     jnp.arange(B)))
+                return acc + loss, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                  length=n_steps)
+            return acc
+
+        def fwdbwd_multi(params, klists, loss_w, reg, musX_grid, model_mask,
+                         probs, rng, thr_sv, coords_all, targets_all):
+            B = coords_all.shape[0]
+            nb_pix = coords_all.shape[1]
+            lw_xs = loss_w if (use_loss_mask and loss_w is not None) \
+                else jnp.zeros((B, nb_pix))
+            rngs = jax.random.split(rng, B)
+
+            def body(carry, _):
+                p_cur, acc = carry
+                grads, loss, _mse, _surv = sweep_all(
+                    p_cur, coords_all, targets_all, klists, lw_xs, reg,
+                    musX_grid, model_mask, probs, rngs, jnp.arange(B),
+                    thr_sv)
+                # consume the grads (defeats DCE of the backward) with a
+                # numerically-no-op axpy (1e-30·g underflows vs any param)
+                p_next = jax.tree_util.tree_map(
+                    lambda p, g: p - jnp.float32(1e-30) * g, p_cur, grads)
+                return (p_next, acc + loss), None
+
+            (p_out, acc), _ = jax.lax.scan(
+                body, (params, jnp.float32(0.0)), None, length=n_steps)
+            return acc
+
+        fns = (jax.jit(fwd_multi), jax.jit(fwdbwd_multi))
+        self._train_fns[pkey] = fns
+        return fns
 
 
 # --------------------------------------------------------------------------
@@ -1162,6 +1254,51 @@ class Smoe:
                 if new is not None and (cur is None or new < cur):
                     self._k_cap_cache = (new,)
         return loss_a, mse_a, npi_a, nsv_a
+
+    def phase_breakdown(self, n_steps: int = 50) -> Dict[str, float]:
+        """Per-phase step time (seconds/iteration) of the production train
+        sweep at the current capped-dense width — the auditable MFU
+        breakdown (VERDICT r4 #4).
+
+        Times three compiled programs over the same blocks/lists/width:
+          fwd      forward + loss (the step's primal alone)
+          fwd_bwd  forward + backward, grads consumed, no optimizer
+          step     the production sweep (fwd + bwd + optax 5-group update
+                   + metrics + survivor-list propagation)
+        and returns the derived phases:
+          {"fwd": t, "bwd": t_fwd_bwd - t_fwd,
+           "opt_metrics": t_step - t_fwd_bwd, "step": t_step}
+        NOTE: `step` trains the model n_steps·2 iterations (warm + timed)
+        as a side effect; call after — not during — a quality fit.
+        """
+        import time as _time
+        if self.opt_state is None:
+            self.set_optimizer()
+        kcap = self._current_k_cap()
+        fwd_fn, fb_fn = self._compiled.phase_fns(
+            True, False, 100, False, int(n_steps), k_cap=kcap)
+        reg = RegWeights(jnp.float32(0.0), jnp.float32(0.0),
+                         jnp.float32(0.0))
+        args = (self.params, self.kernel_lists, None, reg, self.musX_grid,
+                self.model_mask, self.sampling_probs, self._next_rng(),
+                jnp.float32(0.0), self._coords_dev, self._targets_dev)
+
+        def timed(fn):
+            jax.block_until_ready(fn(*args))       # compile + warm
+            t0 = _time.time()
+            jax.block_until_ready(fn(*args))
+            return (_time.time() - t0) / n_steps
+
+        t_fwd = timed(fwd_fn)
+        t_fb = timed(fb_fn)
+        self.run_batched_chunk(n_steps)            # warm at this cap
+        t0 = _time.time()
+        self.run_batched_chunk(n_steps)
+        t_step = (_time.time() - t0) / n_steps
+        return {"fwd": t_fwd, "bwd": t_fb - t_fwd,
+                "opt_metrics": t_step - t_fb, "step": t_step,
+                "k_cap": float(kcap) if kcap is not None
+                else float(self.cfg.capacity)}
 
     def run_batched(self, pis_l1=0.0, u_l1=0.0, sv_l1_sub_l2=0.0, train=True,
                     update_reconstruction=False, with_quantized_params=False,

@@ -263,6 +263,36 @@ class TestChunkedTrainer:
         assert loss.shape == (5,) and mse.shape == (5,)
         assert np.all(np.isfinite(loss))
 
+    def test_phase_breakdown_programs(self, toy_rgb):
+        """The fwd-only phase program (phase_breakdown diagnostic, VERDICT
+        r4 #4) must compute exactly the production sweep's loss — the
+        breakdown is only auditable if the timed programs run the same
+        math — and the fwd+bwd program's 1e-30 grad-axpy must be a
+        numerical no-op."""
+        import jax.numpy as jnp
+        import pytest
+        from smoe_tpu.fit.trainer import RegWeights, Smoe
+
+        s = Smoe(toy_rgb, kernels_per_dim=[3], batch_size=(16, 16))
+        s.set_optimizer()
+        s.run_batched_chunk(2)
+        kcap = s._current_k_cap()
+        fwd_fn, fb_fn = s._compiled.phase_fns(True, False, 100, False, 1,
+                                              k_cap=kcap)
+        reg = RegWeights(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        args = (s.params, s.kernel_lists, None, reg, s.musX_grid,
+                s.model_mask, s.sampling_probs, s._next_rng(),
+                jnp.float32(0.0), s._coords_dev, s._targets_dev)
+        acc_fwd = float(fwd_fn(*args))
+        acc_fb = float(fb_fn(*args))
+        loss, *_ = s.run_batched_chunk(1)   # metrics describe pre-update
+        assert acc_fwd == pytest.approx(float(loss[0]), rel=1e-5)
+        assert acc_fb == pytest.approx(acc_fwd, rel=1e-5)
+
+        pb = s.phase_breakdown(n_steps=2)
+        assert set(pb) == {"fwd", "bwd", "opt_metrics", "step", "k_cap"}
+        assert pb["fwd"] > 0 and pb["step"] > 0
+
     def test_reinit_resets_state_keeps_compiled(self, toy_rgb):
         from smoe_tpu.fit.trainer import Smoe
 

@@ -65,6 +65,36 @@ def test_decode_matches_reconstruct(fitted, tmp_path):
                                err_msg="bitstream decode != encoder recon")
 
 
+def test_default_automatic_encode_beats_hand_table(fitted, tmp_path):
+    """Round-5 default (VERDICT r4 #6): a flag-less `reconstruct` runs the
+    composed automatic encode (--auto-bd 0.05 --prune 0), and it must not
+    lose to the reference-depth hand encode of the same fit: coded rate
+    strictly lower at ~unchanged decoded quality (auto-bd accepts depth
+    reductions only while the measured decode stays within tolerance of
+    the generous allocation, which itself is >= the reference depths on
+    every group)."""
+    img_path, res = fitted
+    from smoe_tpu.cli.reconstruct import main as rec_main
+    from smoe_tpu.io.images import read_image
+
+    orig, precision, _ = read_image(img_path, use_yuv=True)
+    arms = {}
+    for name, extra in (("auto", []), ("ref", ["--ref"])):
+        out = str(tmp_path / name)
+        rec = np.asarray(rec_main(["-i", img_path, "-p",
+                                   os.path.join(res, "params_last.pkl"),
+                                   "-r", out] + extra))
+        mse = float(np.mean((rec.reshape(orig.shape) - orig) ** 2))
+        arms[name] = (os.path.getsize(os.path.join(out, "model.smoe")),
+                      10 * np.log10(1.0 / max(mse, 1e-12)))
+    assert arms["auto"][0] < arms["ref"][0], \
+        f"auto coded {arms['auto'][0]} B >= ref {arms['ref'][0]} B"
+    # tolerance: auto-bd tol (0.05) + prune tol (0) + quantization noise
+    # on this tiny fixture fit
+    assert arms["auto"][1] >= arms["ref"][1] - 0.3, \
+        f"auto {arms['auto'][1]:.2f} dB << ref {arms['ref'][1]:.2f} dB"
+
+
 def test_prune_reconstruct(fitted, tmp_path):
     """--prune 0 keeps the smallest mass-ordered kernel prefix whose
     decoded PSNR ties the best candidate (the full set is always a
@@ -77,7 +107,8 @@ def test_prune_reconstruct(fitted, tmp_path):
 
     base = str(tmp_path / "full")
     rec_full = rec_main(["-i", img_path, "-p",
-                         os.path.join(res, "params_last.pkl"), "-r", base])
+                         os.path.join(res, "params_last.pkl"), "-r", base,
+                         "--ref"])
     k_full = int(np.count_nonzero(np.asarray(read_bitstream(
         os.path.join(base, "model.smoe"))[0]["used_kernels"], bool)))
 
@@ -134,7 +165,7 @@ def test_prune_bpp_rate_control(fitted, tmp_path, capsys):
 
     base = str(tmp_path / "full")
     rec_main(["-i", img_path, "-p",
-              os.path.join(res, "params_last.pkl"), "-r", base])
+              os.path.join(res, "params_last.pkl"), "-r", base, "--ref"])
     full_bits = coded_bits_of(base)
     k_full = int(np.count_nonzero(np.asarray(read_bitstream(
         os.path.join(base, "model.smoe"))[0]["used_kernels"], bool)))
@@ -538,7 +569,7 @@ def test_video_reconstruct_lean_recode(tmp_path):
     pkl = os.path.join(res, "params_best.pkl")
 
     sizes, mses = {}, {}
-    for name, extra in (("ref", []), ("lean", ["-lean", "1"])):
+    for name, extra in (("ref", ["--ref"]), ("lean", ["-lean", "1"])):
         out = str(tmp_path / f"rec_{name}")
         rec_main(["-i", npz_path, "-p", pkl, "-r", out] + extra)
         sizes[name] = os.path.getsize(os.path.join(out, "model.smoe"))
