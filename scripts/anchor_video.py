@@ -157,16 +157,22 @@ def main():
     ap.add_argument("--smoe", type=str, default=None,
                     help="optional .smoe bitstream of this clip to score "
                          "on the same metric")
+    ap.add_argument("--rot", type=float, default=0.0,
+                    help="rotating-foreground clip variant (must match the "
+                         "bench_video_quality --rot being anchored)")
     args = ap.parse_args()
 
-    vid, _ = build_video(moving_obj=not args.static, texture=args.texture)
+    vid, _ = build_video(moving_obj=not args.static, texture=args.texture,
+                         rot=args.rot)
     # the exact uint8 RGB frames bench_video_quality writes to the .npz
     frames_rgb = np.moveaxis((vid * 255).astype(np.uint8), 2, 0)
     orig_yuv = to_yuv_float(frames_rgb)
     n_pix = int(np.prod(frames_rgb.shape[:3]))
 
     clip = {"texture": args.texture,
-            "motion": "static-pan" if args.static else "moving-obj"}
+            "motion": "static-pan" if args.static
+            else (f"moving-obj-rot{args.rot:g}" if args.rot
+                  else "moving-obj")}
     for row in per_frame_rows(frames_rgb, orig_yuv, n_pix):
         print(json.dumps({**clip, **row}), flush=True)
     for row in videowriter_rows(frames_rgb, orig_yuv, n_pix):

@@ -117,12 +117,17 @@ def main():
                          "grace_hopper.jpg photograph (matplotlib sample "
                          "data) — real natural texture, same known-affine "
                          "motion structure")
+    ap.add_argument("--rot", type=float, default=0.0,
+                    help="rotate the moving foreground patch by DEG/frame "
+                         "(VERDICT r4 #2: non-translational real-texture "
+                         "motion + occlusion; the known affines describe "
+                         "only the background pan)")
     args = ap.parse_args()
 
     # CIF 288x352x8 RGB pan + a foreground square moving AGAINST the pan
     # (the content class the reseed recipe exists for)
     vid, affines = build_video(moving_obj=not args.static,
-                               texture=args.texture)
+                               texture=args.texture, rot=args.rot)
     tmp = tempfile.mkdtemp(prefix="smoe_vidq_")
     clip = os.path.join(tmp, "cif.npz")
     np.savez(clip, imgs=np.moveaxis((vid * 255).astype(np.uint8), 2, 0),
@@ -217,7 +222,8 @@ def main():
                   + (", ganchor" if args.ganchor else "")
                   + (", static-pan" if args.static else ", moving-obj")
                   + (f", texture={args.texture}"
-                     if args.texture != "synth" else ""),
+                     if args.texture != "synth" else "")
+                  + (f", rot={args.rot}" if args.rot else ""),
     }))
 
 

@@ -841,12 +841,17 @@ class _Compiled:
             rngs = jax.random.split(rng, B)
 
             def body(acc, _):
-                reg_i = reg._replace(pis_l1=reg.pis_l1 + acc * 1e-30)
+                # the carry must perturb an INPUT of the forward, or XLA's
+                # while-loop invariant code motion hoists the whole
+                # loop-invariant forward out of the scan and the timing
+                # reads one iteration as n (observed: 0.26 ms "fwd" where
+                # the standalone kernel measures 2.8)
+                params_i = params.replace(pis=params.pis + acc * 1e-30)
 
                 def blk(c, xs):
                     coords, targets, kmask, lw, p, r, bidx = xs
                     loss, _aux = loss_for_block(
-                        params, coords, targets, kmask, lw, reg_i,
+                        params_i, coords, targets, kmask, lw, reg,
                         musX_grid, model_mask, p, r, bidx, thr_sv)
                     return c + bw * loss, None
 
