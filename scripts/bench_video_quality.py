@@ -117,6 +117,9 @@ def main():
                          "grace_hopper.jpg photograph (matplotlib sample "
                          "data) — real natural texture, same known-affine "
                          "motion structure")
+    ap.add_argument("--lsrs", type=int, default=0,
+                    help="stop the -lsri refresh after N initial-fit iters "
+                         "(fit -lsrs; the round-5 settling A/B)")
     ap.add_argument("--rot", type=float, default=0.0,
                     help="rotate the moving foreground patch by DEG/frame "
                          "(VERDICT r4 #2: non-translational real-texture "
@@ -162,6 +165,7 @@ def main():
       + (["-nuanchor", "1"] if (args.lsinit or args.lsri) else [])
       + (["-lsri", str(args.lsri)] if args.lsri else [])
       + (["-lsrip", args.lsrip] if args.lsrip != "all" else [])
+      + (["-lsrs", str(args.lsrs)] if args.lsrs else [])
       + (["-ganchor", "1"] if args.ganchor else []))
     fit_s = time.time() - t0
 
@@ -219,6 +223,7 @@ def main():
                   + (", lsinit" if args.lsinit else "")
                   + (f", lsri={args.lsri}" if args.lsri else "")
                   + (f", lsrip={args.lsrip}" if args.lsrip != "all" else "")
+                  + (f", lsrs={args.lsrs}" if args.lsrs else "")
                   + (", ganchor" if args.ganchor else "")
                   + (", static-pan" if args.static else ", moving-obj")
                   + (f", texture={args.texture}"

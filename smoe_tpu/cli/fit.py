@@ -180,6 +180,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "the refresh measured NEGATIVE when it perturbs the "
                         "video reseed phases' Adam trajectories, ROADMAP "
                         "6b''')")
+    p.add_argument("-lsrs", "--ls_refresh_stop", type=_nonneg_int, default=0,
+                   help="stop the -lsri periodic refresh after this many "
+                        "iterations of the INITIAL fit (0 = never): lets "
+                        "Adam settle from the last refresh before the "
+                        "phase ends — the round-5 A/B isolating whether "
+                        "the lsri-initial fit's ~0.6 dB train-best loss "
+                        "vs lsinit-only comes from the refresh's end-state "
+                        "or its mid-fit trajectory (VERDICT r4 #5)")
     p.add_argument("-mask", "--loss_mask_path", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the fit into DIR")
@@ -356,13 +364,22 @@ def main(args=None):
         prof = trace(args.profile_dir) if args.profile_dir \
             else contextlib.nullcontext()
         with prof:
-            smoe.train(args.iterations, val_iter=args.validation_iterations,
-                       ukl_iter=args.update_kernel_list_iterations,
-                       pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
-                       sampling_percentage=args.sampling_percentage,
-                       use_loss_mask=loss_mask is not None,
-                       ls_refresh_iter=lsri_first,
-                       callbacks=callbacks)
+            common = dict(val_iter=args.validation_iterations,
+                          ukl_iter=args.update_kernel_list_iterations,
+                          pis_l1=args.l1reg, sv_l1_sub_l2=args.svreg,
+                          sampling_percentage=args.sampling_percentage,
+                          use_loss_mask=loss_mask is not None,
+                          callbacks=callbacks)
+            stop = args.ls_refresh_stop
+            if lsri_first and stop and stop < args.iterations:
+                # -lsrs: refresh for the first `stop` iters, then let Adam
+                # settle refresh-free for the remainder of the initial fit
+                smoe.train(stop, ls_refresh_iter=lsri_first, **common)
+                smoe.train(args.iterations - stop, ls_refresh_iter=None,
+                           **common)
+            else:
+                smoe.train(args.iterations, ls_refresh_iter=lsri_first,
+                           **common)
 
         # video: per-time-slab kernel reseeding + retrain
         # (reference smoe_test.py:123-207; pis LR x10 for the refits)

@@ -677,3 +677,29 @@ def test_lsrip_initial_restricts_refresh(tmp_path, monkeypatch):
     assert seen[0] == 2                      # initial fit refreshes
     assert len(seen) > 1                     # reseed retrains happened
     assert all(v is None for v in seen[1:])  # ...without the refresh
+
+
+def test_lsrs_stops_refresh_mid_initial_fit(tmp_path, monkeypatch):
+    """-lsrs N: the initial fit splits into a refreshing phase of N iters
+    and a refresh-free settling remainder (round-5 A/B lever for the
+    lsri-initial trajectory question, VERDICT r4 #5)."""
+    rng = np.random.default_rng(1)
+    img = np.uint8(rng.uniform(0.2, 0.8, (16, 16, 3)) * 255)
+    import cv2
+    img_path = str(tmp_path / "img.png")
+    cv2.imwrite(img_path, img)
+
+    from smoe_tpu.fit.trainer import Smoe
+    seen = []
+    orig_train = Smoe.train
+
+    def spy(self, n, *a, **kw):
+        seen.append((n, kw.get("ls_refresh_iter")))
+        return orig_train(self, n, *a, **kw)
+
+    monkeypatch.setattr(Smoe, "train", spy)
+    from smoe_tpu.cli.fit import main as fit_main
+    fit_main(["-i", img_path, "-r", str(tmp_path / "out"), "-n", "10",
+              "-v", "5", "-k", "2", "-lsinit", "kernel", "-lsri", "2",
+              "-lsrs", "6"])
+    assert seen == [(6, 2), (4, None)]
