@@ -15,6 +15,18 @@ import pickle
 import numpy as np
 
 
+def estimate_batches(n_pix, k_cap, user_batches=1, budget_bytes=2 << 30):
+    """First-attempt block count for the quantized eval, sized so the
+    per-block (Nb, K) gating map + ~6 same-shaped f32 temporaries fit a
+    conservative HBM share (the cli/decode.py:98-109 heuristic).  Returns
+    max(user choice, next power of two of the estimate) — a user-default
+    -b 1 at video scale (8192 kernels x 811k pixels) otherwise OOMs at
+    compile time (measured round 5, k=32 rotating clip: 26.6 GB > 17 GB).
+    """
+    est = max(1, int(np.ceil(n_pix * k_cap * 4 * 6 / budget_bytes)))
+    return max(user_batches, 1 << (est - 1).bit_length())
+
+
 def main(args=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--image_path", type=str, required=True)
@@ -158,7 +170,15 @@ def main(args=None):
         cfg_kw["num_frames"] = int(cp.get("num_frames", orig.shape[2]
                                           if orig.ndim == 4 else 0))
 
-    smoe = Smoe(orig, init_params_dict=params, start_batches=a.batches,
+    start_b = estimate_batches(int(np.prod(orig.shape[:-1])),
+                               int(np.asarray(params["pis"]).shape[0]),
+                               a.batches)
+    if start_b > a.batches:
+        print(f"memory estimate: starting with {start_b} blocks "
+              f"({int(np.prod(orig.shape[:-1]))}px x "
+              f"{np.asarray(params['pis']).shape[0]} kernels)", flush=True)
+
+    smoe = Smoe(orig, init_params_dict=params, start_batches=start_b,
                 musX_grid_init=cp.get("musX_grid"),
                 model_mask_init=cp.get("model_mask"), **cfg_kw)
 

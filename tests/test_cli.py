@@ -703,3 +703,20 @@ def test_lsrs_stops_refresh_mid_initial_fit(tmp_path, monkeypatch):
               "-v", "5", "-k", "2", "-lsinit", "kernel", "-lsri", "2",
               "-lsrs", "6"])
     assert seen == [(6, 2), (4, None)]
+
+
+def test_reconstruct_estimate_batches():
+    """cli/reconstruct sizes its first eval attempt from the decoder's
+    memory heuristic (cli/decode.py:98-109): small models keep the user
+    default, video-scale models (8192 kernels x 811k pixels — the round-5
+    compile-OOM case) are split before the first compile."""
+    from smoe_tpu.cli.reconstruct import estimate_batches
+    # small image, small K: user default untouched
+    assert estimate_batches(256 * 256, 144, 1) == 1
+    # the measured OOM geometry gets a power-of-two split > 1
+    b = estimate_batches(288 * 352 * 8, 8192, 1)
+    assert b > 1 and (b & (b - 1)) == 0
+    # per-block footprint fits the 2 GB budget after the split
+    assert (288 * 352 * 8 / b) * 8192 * 4 * 6 <= (2 << 30)
+    # an explicit user -b wins when larger than the estimate
+    assert estimate_batches(64, 4, 8) == 8
