@@ -24,6 +24,17 @@ def psnr(a, b):
     return 10 * np.log10(255.0 ** 2 / mse)
 
 
+def ssim_rgb(a_u8, b_u8):
+    """Mean per-channel SSIM in the coding (RGB/gray) domain on [0,1],
+    with the trainer's symmetric 5-px pad (core/ssim.py, reference
+    ops/image_ops_impl.py semantics) — the perceptual yardstick column
+    for both the classical anchors and the smoe rows."""
+    from smoe_tpu.core.ssim import ssim_loss
+    a = (a_u8 / 255.0).astype(np.float32)
+    b = (b_u8 / 255.0).astype(np.float32)
+    return float(1.0 - ssim_loss(a, b, use_yuv=False))
+
+
 def anchor_rows(img_u8, n_pix):
     import cv2
     rows = []
@@ -45,11 +56,12 @@ def anchor_rows(img_u8, n_pix):
                    cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1])
             rows.append({"codec": name, "q": q,
                          "bpp": round(8 * len(buf) / n_pix, 4),
-                         "psnr_db": round(psnr(img_u8, dec), 2)})
+                         "psnr_db": round(psnr(img_u8, dec), 2),
+                         "ssim": round(ssim_rgb(img_u8, dec), 4)})
     return rows
 
 
-def smoe_row(img_u8, iters, k=12, lsri=0, auto=False):
+def smoe_row(img_u8, iters, k=12, lsri=0, auto=False, ssim_fit=False):
     """One smoe RD point for the anchor table.
 
     Default: LS-init fit at the LS-knee depths + center-anchored nu,
@@ -69,7 +81,7 @@ def smoe_row(img_u8, iters, k=12, lsri=0, auto=False):
     img = (img_u8 / 255.0).astype(np.float32)
     n_pix = int(np.prod(img.shape[:-1]))
     s = Smoe(img, kernels_per_dim=[k], bit_depths=(8, 10, 10, 10, 8),
-             nu_anchor=True, in_graph_ukl=True)
+             nu_anchor=True, in_graph_ukl=True, ssim_opt=ssim_fit)
     s.set_optimizer()
     s.ls_init_experts()
     s.train(iters, val_iter=max(iters // 10, 1), ukl_iter=100,
@@ -99,12 +111,15 @@ def smoe_row(img_u8, iters, k=12, lsri=0, auto=False):
                              np.asarray(s.qparams["used_kernels"])])
     _, mse_q, npi, _ = s.run_batched(train=False, update_reconstruction=True,
                                      with_quantized_params=True)
+    rec_u8 = np.uint8(np.clip(np.asarray(s.get_qreconstruction()), 0, 1)
+                      * 255 + 0.5)
     import tempfile
     with tempfile.NamedTemporaryFile(suffix=".smoe") as f:
         bits = write_bitstream(f.name, s.qparams, s.cfg)
-    return {"codec": "smoe", "q": None,
+    return {"codec": "smoe-ssim" if ssim_fit else "smoe", "q": None,
             "bpp": round(bits / n_pix, 4),
             "psnr_db": round(float(psnr_from_mse(mse_q, 8)), 2),
+            "ssim": round(ssim_rgb(img_u8, rec_u8), 4),
             "iters": iters, "kernels": int(npi),
             "k": k, "lsri": lsri, "auto": bool(auto)}
 
@@ -127,6 +142,9 @@ def main():
     auto = "--auto" in argv
     if auto:
         argv.remove("--auto")
+    ssim_fit = "--ssim" in argv
+    if ssim_fit:
+        argv.remove("--ssim")
     family = "bench"
     if "--family" in argv:
         i = argv.index("--family")
@@ -149,7 +167,8 @@ def main():
     if fit_iters:
         print(json.dumps({"family": family,
                           **smoe_row(img_u8, fit_iters, k=k, lsri=lsri,
-                                     auto=auto)}), flush=True)
+                                     auto=auto, ssim_fit=ssim_fit)}),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,11 @@ def main():
     ap.add_argument("--lsrs", type=int, default=0,
                     help="stop the -lsri refresh after N initial-fit iters "
                          "(fit -lsrs; the round-5 settling A/B)")
+    ap.add_argument("--auto", action="store_true",
+                    help="after the fit, run THE production composed "
+                         "encode (reconstruct --auto-bd 0.05 --prune 0 "
+                         "on params_best) and print a second JSON line "
+                         "with its receiver-side PSNR/bpp")
     ap.add_argument("--rot", type=float, default=0.0,
                     help="rotate the moving foreground patch by DEG/frame "
                          "(VERDICT r4 #2: non-translational real-texture "
@@ -230,6 +235,37 @@ def main():
                      if args.texture != "synth" else "")
                   + (f", rot={args.rot}" if args.rot else ""),
     }))
+
+    if args.auto:
+        # THE production composed encode (BASELINE "production video
+        # encode"): measured per-group bit allocation + RD prune on the
+        # best-validation snapshot, then the serving-decoder receiver
+        # view of the resulting bitstream — a second JSON line so one
+        # command yields both the flat and the composed RD point.
+        from smoe_tpu.cli.reconstruct import main as rec_main
+        auto_dir = os.path.join(tmp, "auto")
+        t0 = time.time()
+        rec_main(["-i", clip,
+                  "-p", os.path.join(res_dir, "params_best.pkl"),
+                  "-r", auto_dir, "-q", "1",
+                  "--auto-bd", "0.05", "--prune", "0"])
+        enc_s = time.time() - t0
+        smoe_auto = os.path.join(auto_dir, "model.smoe")
+        bits_a = os.path.getsize(smoe_auto) * 8
+        rec_a = np.asarray(decode_bitstream(smoe_auto)).reshape(orig.shape)
+        mse_a = float(np.mean((rec_a - orig) ** 2)) * (2 ** precision) ** 2
+        print(json.dumps({
+            "metric": "video_cif_composed_auto_encode_psnr_db",
+            "value": round(10 * np.log10((2 ** precision) ** 2 / mse_a), 2),
+            "unit": "dB",
+            "coded_bpp": round(bits_a / n_pix, 4),
+            "coded_bits": bits_a,
+            "psnr_train_best_db": round(psnr_train, 2),
+            "encode_wallclock_s": round(enc_s, 1),
+            "workdir": tmp,
+            "recipe": "reconstruct --auto-bd 0.05 --prune 0 on "
+                      "params_best of the fit above",
+        }))
 
 
 if __name__ == "__main__":
