@@ -48,6 +48,27 @@ class BlockSet(NamedTuple):
     sv_index: Optional[jnp.ndarray] = None
 
 
+def row_chunks(nb: int, width: int, budget_bytes: int = 2 << 30) -> int:
+    """Row-chunks per block for dense (rows, width) passes — the XLA eval
+    forward and the LS normal-equation/line-search accumulations — sized
+    so the gating map and its handful of same-shaped f32 temporaries stay
+    inside a fixed HBM share.  Unchunked, a one-block video fit
+    materializes the full (N, K) map, which stops compiling at production
+    scale: 811008 px x 8192 kernels = 26.6 GB > 17 GB HBM on the k=32
+    video fit (measured round 5).  Returns the smallest divisor of nb
+    that meets the budget (1 = unchunked).  Row chunking is EXACT for the
+    forward — gating/expert reductions run over the kernel axis, never
+    across rows — and only reorders f32 partial sums in the LS
+    accumulations."""
+    est = int(max(1, -(-nb * width * 4 * 6 // budget_bytes)))
+    if est <= 1:
+        return 1
+    s = est
+    while nb % s:
+        s += 1
+    return s
+
+
 def _block_view(arr: np.ndarray, bs: Tuple[int, ...], ov: int) -> np.ndarray:
     """(spatial..., F) -> (B, Nb, F) overlapping zero-padded blocks in the
     reference's row-major block order."""

@@ -59,6 +59,8 @@ from smoe_tpu.config import SmoeConfig
 from smoe_tpu.core.model import _EXACT, gating, maha_from_A
 from smoe_tpu.video.motion import transform_coords
 
+from smoe_tpu.fit.blocks import row_chunks as _ls_row_chunks
+
 # mass below which a kernel keeps its sample-init experts (no pixels to fit)
 _MASS_EPS = 1e-6
 
@@ -86,38 +88,52 @@ def _accumulate(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     c = targets_all.shape[-1]
     p = 1 + d
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
+    nb = coords_all.shape[1]
+    s = _ls_row_chunks(nb, k * p if coupled else k)
+    m = nb // s
 
     def block(carry, xs):
-        G, bvec = carry
         coords, targets, klist, tmask, lw = xs
-        cin, craw, cexp = _design_coords(eff, cfg, coords)
-        maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
-        w_e = gating(maha, eff.pis, diag_A, cfg, klist)        # (Nb, K)
-        rw = valid.astype(jnp.float32) * lw
-        if tmask is not None:
-            rw = rw * tmask.astype(jnp.float32)
-        # zero-padded rows (coords==0 in pad) ride along with w from dead
-        # pixels; the valid/train masks already exclude them where they
-        # matter, and padded rows have targets==0 AND coords==0 so they
-        # only bias the constant column — crop them via the valid mask.
-        wv = w_e * rw[:, None]                                 # (Nb, K)
-        phi = jnp.concatenate([jnp.ones_like(cexp[:, :1]), cexp], axis=1)
-        if coupled:
-            z = (wv[:, :, None] * phi[:, None, :]).reshape(-1, k * p)
-            G = G + jnp.dot(z.T, z, precision=_EXACT,
-                            preferred_element_type=jnp.float32)
-            bvec = bvec + jnp.dot(z.T, targets, precision=_EXACT,
-                                  preferred_element_type=jnp.float32)
-        else:
-            pp = (phi[:, :, None] * phi[:, None, :]).reshape(-1, p * p)
-            G = G + jnp.dot(wv.T, pp, precision=_EXACT,
-                            preferred_element_type=jnp.float32
-                            ).reshape(k, p, p)
-            py = (phi[:, :, None] * targets[:, None, :]).reshape(-1, p * c)
-            bvec = bvec + jnp.dot(wv.T, py, precision=_EXACT,
-                                  preferred_element_type=jnp.float32
-                                  ).reshape(k, p, c)
-        return (G, bvec), None
+
+        def chunk(c2, xs2):
+            G, bvec = c2
+            coords_c, targets_c, tmask_c, lw_c, valid_c = xs2
+            cin, craw, cexp = _design_coords(eff, cfg, coords_c)
+            maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
+            w_e = gating(maha, eff.pis, diag_A, cfg, klist)    # (m, K)
+            rw = valid_c.astype(jnp.float32) * lw_c
+            rw = rw * tmask_c.astype(jnp.float32)
+            # zero-padded rows (coords==0 in pad) ride along with w from
+            # dead pixels; the valid/train masks already exclude them
+            # where they matter, and padded rows have targets==0 AND
+            # coords==0 so they only bias the constant column — crop
+            # them via the valid mask.
+            wv = w_e * rw[:, None]                             # (m, K)
+            phi = jnp.concatenate([jnp.ones_like(cexp[:, :1]), cexp],
+                                  axis=1)
+            if coupled:
+                z = (wv[:, :, None] * phi[:, None, :]).reshape(-1, k * p)
+                G = G + jnp.dot(z.T, z, precision=_EXACT,
+                                preferred_element_type=jnp.float32)
+                bvec = bvec + jnp.dot(z.T, targets_c, precision=_EXACT,
+                                      preferred_element_type=jnp.float32)
+            else:
+                pp = (phi[:, :, None] * phi[:, None, :]).reshape(-1, p * p)
+                G = G + jnp.dot(wv.T, pp, precision=_EXACT,
+                                preferred_element_type=jnp.float32
+                                ).reshape(k, p, p)
+                py = (phi[:, :, None]
+                      * targets_c[:, None, :]).reshape(-1, p * c)
+                bvec = bvec + jnp.dot(wv.T, py, precision=_EXACT,
+                                      preferred_element_type=jnp.float32
+                                      ).reshape(k, p, c)
+            return (G, bvec), None
+
+        carry, _ = jax.lax.scan(
+            chunk, carry,
+            (coords.reshape(s, m, -1), targets.reshape(s, m, -1),
+             tmask.reshape(s, m), lw.reshape(s, m), valid.reshape(s, m)))
+        return carry, None
 
     G0 = jnp.zeros((k * p, k * p), jnp.float32) if coupled \
         else jnp.zeros((k, p, p), jnp.float32)
@@ -294,25 +310,39 @@ def _line_search_t(eff, cfg: SmoeConfig, coords_all, targets_all, klists,
     One scan over blocks; the float (pre-QAT) experts are used for yhat,
     matching what the solve fits."""
     diag_A = jnp.diagonal(eff.A, axis1=1, axis2=2)
+    nb = coords_all.shape[1]
+    s = _ls_row_chunks(nb, int(eff.pis.shape[0]))
+    m = nb // s
 
     def block(carry, xs):
-        uu, ru = carry
         coords, targets, klist, tmask, lw = xs
-        cin, craw, cexp = _design_coords(eff, cfg, coords)
-        maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
-        w_e = gating(maha, eff.pis, diag_A, cfg, klist)        # (Nb, K)
-        rw = valid.astype(jnp.float32) * lw
-        if tmask is not None:
-            rw = rw * tmask.astype(jnp.float32)
-        # per-kernel affine surfaces at the block pixels: (Nb, K, C)
-        yhat = jnp.einsum("nk,kc->nc", w_e,  nu0, precision=_EXACT) + \
-            jnp.einsum("nk,nd,kdc->nc", w_e, cexp, gam0, precision=_EXACT)
-        u = jnp.einsum("nk,kc->nc", w_e, d_nu, precision=_EXACT) + \
-            jnp.einsum("nk,nd,kdc->nc", w_e, cexp, d_gam, precision=_EXACT)
-        r = yhat - targets
-        uu = uu + jnp.sum(rw[:, None] * u * u)
-        ru = ru + jnp.sum(rw[:, None] * r * u)
-        return (uu, ru), None
+
+        def chunk(c2, xs2):
+            uu, ru = c2
+            coords_c, targets_c, tmask_c, lw_c, valid_c = xs2
+            cin, craw, cexp = _design_coords(eff, cfg, coords_c)
+            maha = maha_from_A(eff.A, eff.musX, cfg, cin, craw, model_mask)
+            w_e = gating(maha, eff.pis, diag_A, cfg, klist)    # (m, K)
+            rw = valid_c.astype(jnp.float32) * lw_c
+            rw = rw * tmask_c.astype(jnp.float32)
+            # blended current surface + blended direction at the pixels
+            yhat = jnp.einsum("nk,kc->nc", w_e, nu0,
+                              precision=_EXACT) + \
+                jnp.einsum("nk,nd,kdc->nc", w_e, cexp, gam0,
+                           precision=_EXACT)
+            u = jnp.einsum("nk,kc->nc", w_e, d_nu, precision=_EXACT) + \
+                jnp.einsum("nk,nd,kdc->nc", w_e, cexp, d_gam,
+                           precision=_EXACT)
+            r = yhat - targets_c
+            uu = uu + jnp.sum(rw[:, None] * u * u)
+            ru = ru + jnp.sum(rw[:, None] * r * u)
+            return (uu, ru), None
+
+        carry, _ = jax.lax.scan(
+            chunk, carry,
+            (coords.reshape(s, m, -1), targets.reshape(s, m, -1),
+             tmask.reshape(s, m), lw.reshape(s, m), valid.reshape(s, m)))
+        return carry, None
 
     tm = train_mask if train_mask is not None \
         else jnp.ones(coords_all.shape[:2], bool)

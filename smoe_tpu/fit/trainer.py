@@ -45,7 +45,8 @@ from smoe_tpu.core.quant import apply_qat
 from smoe_tpu.core.ssim import ssim_loss
 from smoe_tpu.fit.blocks import (BlockSet, build_blockset,
                                  initialize_kernel_lists, probe_points,
-                                 stitch_blocks, update_kernel_lists)
+                                 row_chunks, stitch_blocks,
+                                 update_kernel_lists)
 from smoe_tpu.video.motion import transform_coords
 
 
@@ -727,11 +728,42 @@ class _Compiled:
                         jax.lax.dynamic_slice_in_dim(svp[1], off, nb),
                         jax.lax.dynamic_slice_in_dim(svp[2], off, nb))
                 sv_add, sv_eff = _sv_residual(coords, *sv_blk, thr_sv)
-            out = _forward_eff(eff, cfg, coords, kmask, model_mask,
-                               fused=(False, False) if (with_rec or exact)
-                               else self.pallas,
-                               sv_add=sv_add if with_sv else None,
-                               spatial=bset.block_padded)
+            use_xla = with_rec or exact
+            s = row_chunks(coords.shape[0], int(cfg.capacity)) \
+                if use_xla else 1
+            w_argmax_pre = None
+            if s > 1:
+                # row-chunked XLA forward: the dense (Nb, K) gating map
+                # stops compiling at production scale (811008 px x 8192
+                # kernels = 26.6 GB, k=32 video).  Bit-exact vs the
+                # unchunked forward — gating/expert reductions run over
+                # the kernel axis only — so decode parity (exact=True)
+                # is untouched; the argmax and survivor OR fold per chunk
+                # so no (Nb, K) output is ever materialized.
+                m = coords.shape[0] // s
+
+                def fwd_chunk(xs):
+                    coords_c, sv_c = xs
+                    o = _forward_eff(eff, cfg, coords_c, kmask, model_mask,
+                                     fused=(False, False),
+                                     sv_add=sv_c if with_sv else None,
+                                     spatial=bset.block_padded)
+                    return (o.res, jnp.argmax(o.w_e, axis=1),
+                            o.survivors)
+
+                res_c, wam_c, surv_c = jax.lax.map(
+                    fwd_chunk, (coords.reshape(s, m, -1),
+                                sv_add.reshape(s, m)))
+                out = ForwardOut(res=res_c.reshape(-1, res_c.shape[-1]),
+                                 w_e=None, survivors=jnp.any(surv_c, 0),
+                                 maha=None)
+                w_argmax_pre = wam_c.reshape(-1)
+            else:
+                out = _forward_eff(eff, cfg, coords, kmask, model_mask,
+                                   fused=(False, False) if use_xla
+                                   else self.pallas,
+                                   sv_add=sv_add if with_sv else None,
+                                   spatial=bset.block_padded)
             valid = bset.valid if cfg.overlap > 0 else None
             if bset.train_mask is not None:
                 tm = bset.train_mask[bidx]        # this block's view mask
@@ -769,7 +801,8 @@ class _Compiled:
                                                  nb)
             if not with_rec:
                 return loss, la.mse, out.survivors
-            w_argmax = jnp.argmax(out.w_e, axis=1)
+            w_argmax = w_argmax_pre if w_argmax_pre is not None \
+                else jnp.argmax(out.w_e, axis=1)
             probs = la.err_map / jnp.maximum(jnp.sum(la.err_map), 1e-30)
             return (loss, la.mse, out.res, w_argmax, out.survivors, probs,
                     sv_add)

@@ -259,3 +259,57 @@ class TestLsInit:
         s.bset = s.bset._replace(targets=np.asarray(t2, np.float32))
         s.ls_init_experts(mode="kernel")
         assert np.allclose(np.asarray(s.params.nu_e), nu_clean, atol=1e-5)
+
+
+class TestRowChunking:
+    """Dense (rows, K) passes chunk rows at production scale
+    (fit/blocks.py row_chunks): 811008 px x 8192 kernels = 26.6 GB
+    stopped the k=32 video fit's compile (round 5).  Chunking must be a
+    pure memory transform: the LS solve within f32 partial-sum noise,
+    the eval forward bit-exact (no cross-row reductions)."""
+
+    def test_row_chunks_sizing(self):
+        from smoe_tpu.fit.blocks import row_chunks
+        assert row_chunks(1024, 16) == 1                 # small: unchunked
+        s = row_chunks(811008, 8192)                     # the failing case
+        assert s > 1 and 811008 % s == 0
+        assert (811008 // s) * 8192 * 4 * 6 <= (2 << 30)
+        # smallest divisor >= the estimate (nb = 2^13 * 99)
+        assert s == 88
+
+    def test_ls_solve_parity_chunked(self, monkeypatch):
+        import smoe_tpu.fit.lsinit as L
+        img = _img(32)
+        s1 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16))
+        s1.ls_init_experts(mode="kernel")
+        monkeypatch.setattr(L, "_ls_row_chunks", lambda nb, w, **k: 4)
+        s2 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16))
+        s2.ls_init_experts(mode="kernel")
+        np.testing.assert_allclose(np.asarray(s1.params.nu_e),
+                                   np.asarray(s2.params.nu_e), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(s1.params.gamma_e),
+                                   np.asarray(s2.params.gamma_e), atol=2e-4)
+
+    def test_eval_parity_chunked(self, monkeypatch):
+        import smoe_tpu.fit.trainer as T
+        img = _img(32)
+        s1 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16))
+        s1.set_optimizer()
+        for _ in range(5):
+            s1.run_batched(train=True)
+        params = s1.get_params()
+        s3 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16),
+                  init_params_dict=params)
+        l1, m1, *_ = s3.run_batched(train=False, update_reconstruction=True)
+        rec1 = np.asarray(s3.get_reconstruction())
+        wam1 = np.asarray(s3.weight_matrix_argmax)
+        monkeypatch.setattr(T, "row_chunks", lambda nb, w, **k: 4)
+        s2 = Smoe(img, kernels_per_dim=[4], batch_size=(16, 16),
+                  init_params_dict=params)
+        l2, m2, *_ = s2.run_batched(train=False, update_reconstruction=True)
+        rec2 = np.asarray(s2.get_reconstruction())
+        # forward is row-wise: chunking must be bit-exact
+        assert m1 == m2 and l1 == l2
+        np.testing.assert_array_equal(rec1, rec2)
+        np.testing.assert_array_equal(wam1,
+                                      np.asarray(s2.weight_matrix_argmax))
